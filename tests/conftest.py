@@ -1,0 +1,60 @@
+"""Test configuration: force CPU JAX with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware (the TPU-native substitute
+for a fake NCCL backend — SURVEY.md §4).
+
+Note: the environment's sitecustomize may pre-import jax and force the TPU
+platform, so we both set the env vars *and* update jax.config directly.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def hp_default():
+    """Configure the hp singleton from the repo-root defaults, reset after."""
+    from wavernn_tpu.config import hp, default_hparams_path
+
+    hp.reset()
+    hp.configure(default_hparams_path(), data_path="data/")
+    yield hp
+    hp.reset()
+
+
+@pytest.fixture()
+def hp_tiny():
+    """A miniature configuration for fast model tests."""
+    from wavernn_tpu.config import hp, default_hparams_path
+
+    hp.reset()
+    hp.configure(
+        default_hparams_path(),
+        voc_rnn_dims=32,
+        voc_fc_dims=32,
+        voc_compute_dims=16,
+        voc_res_out_dims=16,
+        voc_res_blocks=2,
+        voc_seq_len=275 * 5,
+        tts_embed_dims=16,
+        tts_encoder_dims=16,
+        tts_decoder_dims=32,
+        tts_postnet_dims=16,
+        tts_encoder_K=4,
+        tts_lstm_dims=32,
+        tts_postnet_K=4,
+        tts_num_highways=2,
+    )
+    yield hp
+    hp.reset()
