@@ -92,7 +92,7 @@ def load_wav(path: Union[str, Path], sr: Optional[int] = None,
 def save_wav(x: np.ndarray, path: Union[str, Path], sr: int) -> None:
     """Write mono float audio in [-1,1] as 16-bit PCM WAV."""
     x = np.asarray(x, dtype=np.float32).reshape(-1)
-    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    pcm = np.round(np.clip(x * 32767.0, -32768, 32767)).astype("<i2")
     raw = pcm.tobytes()
     header = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
