@@ -1,0 +1,104 @@
+"""WaveRNN model tests: shape contracts, upsample length algebra, parameter
+count parity, scan generation end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig, num_params
+
+
+def tiny_cfg(mode="RAW"):
+    return WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=9, pad=2, upsample_factors=(5, 5, 11),
+        feat_dims=80, compute_dims=16, res_out_dims=16, res_blocks=2,
+        hop_length=275, sample_rate=22050, mode=mode,
+    )
+
+
+def init_model(cfg, B=2, T_mel=9):
+    model = WaveRNN(cfg)
+    seq_len = (T_mel - 2 * cfg.pad) * cfg.hop_length
+    x = jnp.zeros((B, seq_len))
+    m = jnp.zeros((B, T_mel, cfg.feat_dims))
+    variables = model.init(jax.random.PRNGKey(0), x, m, True)
+    return model, variables, x, m
+
+
+@pytest.mark.parametrize("mode,n_classes", [("RAW", 512), ("MOL", 30)])
+def test_forward_shapes(mode, n_classes):
+    cfg = tiny_cfg(mode)
+    model, variables, x, m = init_model(cfg)
+    y, _ = model.apply(variables, x, m, True, mutable=["batch_stats"])
+    assert y.shape == (x.shape[0], x.shape[1], n_classes)
+
+
+def test_upsample_length_algebra():
+    cfg = tiny_cfg()
+    model, variables, _, m = init_model(cfg, T_mel=12)
+    mels_up, aux = model.apply(
+        variables, m[:, :12], False, method=WaveRNN.upsample_only
+    )
+    expect_t = (12 - 2 * cfg.pad) * cfg.hop_length
+    assert mels_up.shape == (2, expect_t, cfg.feat_dims)
+    assert aux.shape == (2, expect_t, cfg.res_out_dims)
+
+
+def test_default_param_count_matches_reference():
+    """Reference prints ~4.23M trainable params for the default MOL config
+    (ref: models/fatchord_version.py:425-430, BASELINE.md)."""
+    cfg = WaveRNNConfig()  # default 512-dim MOL
+    model = WaveRNN(cfg)
+    x = jnp.zeros((1, 275))
+    m = jnp.zeros((1, 5, 80))
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, m, True)
+    )
+    n = num_params(variables["params"])
+    assert 4.1 < n < 4.4, n
+
+
+def test_batchnorm_stats_update():
+    cfg = tiny_cfg()
+    model, variables, x, m = init_model(cfg)
+    _, mutated = model.apply(
+        variables, x, jnp.ones_like(m) * 0.5, True, mutable=["batch_stats"]
+    )
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
+    )
+
+
+@pytest.mark.parametrize("mode", ["RAW", "MOL"])
+@pytest.mark.parametrize("batched", [False, True])
+def test_generate_end_to_end(mode, batched):
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg(mode)
+    model, variables, _, _ = init_model(cfg)
+
+    T_mel = 40
+    mel = np.random.default_rng(0).uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
+    gen = Generator(cfg, variables, backend="scan", frame_bucket=16)
+    wav = gen(mel, batched=batched, target=2750, overlap=550, mu_law=True)
+    assert wav.shape == ((T_mel - 1) * cfg.hop_length,)
+    assert np.isfinite(wav).all()
+    # equal-power crossfade can transiently sum to sqrt(2) at fold seams
+    assert np.abs(wav).max() <= (2 ** 0.5 if batched else 1.0) + 1e-6
+    # tail fade applied
+    assert abs(wav[-1]) < 1e-6
+
+
+def test_generate_deterministic_given_seed():
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    mel = np.random.default_rng(1).uniform(0, 1, (cfg.feat_dims, 20)).astype(np.float32)
+    gen = Generator(cfg, variables, backend="scan")
+    w1 = gen(mel, batched=False, target=2750, overlap=550, mu_law=False, seed=7)
+    w2 = gen(mel, batched=False, target=2750, overlap=550, mu_law=False, seed=7)
+    np.testing.assert_array_equal(w1, w2)

@@ -1,0 +1,254 @@
+"""Autoregressive WaveRNN decode runtime (scan implementation).
+
+TPU-native replacement for the reference's per-sample Python loop over cuDNN
+GRUCells (ref: models/fatchord_version.py:169-264): the whole sample loop is
+one ``lax.scan`` compiled under jit — no per-step dispatch, on-device
+sampling with threaded PRNG keys (SURVEY.md C22/C24).
+
+Shape bucketing pads mel frames / fold counts up to coarse buckets so
+arbitrary utterance lengths reuse a small set of compiled programs.
+
+The fused Pallas kernel (ops/pallas_decode.py) implements the same step
+function with weights pinned in VMEM; this module is the portable reference
+implementation and the fallback on CPU.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+from wavernn_tpu.ops import fold as fold_ops
+from wavernn_tpu.ops import mol as mol_ops
+from wavernn_tpu.ops.rnn import gru_cell_step
+
+
+@dataclass
+class DecodeWeights:
+    """Raw weight arrays of the sample-loop network, extracted from the flax
+    param pytree (the analog of the reference's GRU→GRUCell transplant,
+    ref: models/fatchord_version.py:273-279)."""
+
+    I_w: jnp.ndarray
+    I_b: jnp.ndarray
+    gru1_w_ih: jnp.ndarray
+    gru1_w_hh: jnp.ndarray
+    gru1_b_ih: jnp.ndarray
+    gru1_b_hh: jnp.ndarray
+    gru2_w_ih: jnp.ndarray
+    gru2_w_hh: jnp.ndarray
+    gru2_b_ih: jnp.ndarray
+    gru2_b_hh: jnp.ndarray
+    fc1_w: jnp.ndarray
+    fc1_b: jnp.ndarray
+    fc2_w: jnp.ndarray
+    fc2_b: jnp.ndarray
+    fc3_w: jnp.ndarray
+    fc3_b: jnp.ndarray
+
+
+def extract_decode_weights(params) -> DecodeWeights:
+    def gru(name):
+        cell = params[name]["cell"]
+        return cell["w_ih"], cell["w_hh"], cell["b_ih"], cell["b_hh"]
+
+    g1 = gru("rnn1")
+    g2 = gru("rnn2")
+    return DecodeWeights(
+        I_w=params["I"]["kernel"], I_b=params["I"]["bias"],
+        gru1_w_ih=g1[0], gru1_w_hh=g1[1], gru1_b_ih=g1[2], gru1_b_hh=g1[3],
+        gru2_w_ih=g2[0], gru2_w_hh=g2[1], gru2_b_ih=g2[2], gru2_b_hh=g2[3],
+        fc1_w=params["fc1"]["kernel"], fc1_b=params["fc1"]["bias"],
+        fc2_w=params["fc2"]["kernel"], fc2_b=params["fc2"]["bias"],
+        fc3_w=params["fc3"]["kernel"], fc3_b=params["fc3"]["bias"],
+    )
+
+
+jax.tree_util.register_pytree_node(
+    DecodeWeights,
+    lambda w: (tuple(getattr(w, f) for f in w.__dataclass_fields__), None),
+    lambda _, leaves: DecodeWeights(*leaves),
+)
+
+
+def decode_step(w: DecodeWeights, x, h1, h2, m_t, a1_t, a2_t, a3_t, a4_t):
+    """One sample step: (B,1) sample + conditioning → logits, new state.
+
+    Mirrors the reference inner loop (ref: fatchord_version.py:201-223) with
+    the hoistable conditioning concatenations kept per-step for clarity; the
+    Pallas kernel hoists them.
+    """
+    inp = jnp.concatenate([x, m_t, a1_t], axis=-1)
+    xi = inp @ w.I_w + w.I_b
+    h1 = gru_cell_step(xi, h1, w.gru1_w_ih, w.gru1_w_hh, w.gru1_b_ih, w.gru1_b_hh)
+    x = xi + h1
+    inp2 = jnp.concatenate([x, a2_t], axis=-1)
+    h2 = gru_cell_step(inp2, h2, w.gru2_w_ih, w.gru2_w_hh, w.gru2_b_ih, w.gru2_b_hh)
+    x = x + h2
+    x = jax.nn.relu(jnp.concatenate([x, a3_t], axis=-1) @ w.fc1_w + w.fc1_b)
+    x = jax.nn.relu(jnp.concatenate([x, a4_t], axis=-1) @ w.fc2_w + w.fc2_b)
+    logits = x @ w.fc3_w + w.fc3_b
+    return logits, h1, h2
+
+
+@partial(jax.jit, static_argnames=("mode", "n_classes"))
+def decode_scan(
+    weights: DecodeWeights,
+    mels_up: jnp.ndarray,   # (B, T, feat)
+    aux: jnp.ndarray,       # (B, T, 4*aux_dims)
+    key: jax.Array,
+    mode: str,
+    n_classes: int,
+) -> jnp.ndarray:
+    """Run the full autoregressive sample loop; returns (B, T) float samples."""
+    B, T, _ = mels_up.shape
+    rnn_dims = weights.gru1_w_hh.shape[0]
+    d = aux.shape[-1] // 4
+
+    # time-major for scan
+    mels_t = jnp.swapaxes(mels_up, 0, 1)
+    aux_t = jnp.swapaxes(aux, 0, 1)
+
+    def step(carry, inputs):
+        x, h1, h2, key = carry
+        m_t, a_t = inputs
+        key, sub = jax.random.split(key)
+        logits, h1, h2 = decode_step(
+            weights, x, h1, h2, m_t,
+            a_t[..., 0 * d:1 * d], a_t[..., 1 * d:2 * d],
+            a_t[..., 2 * d:3 * d], a_t[..., 3 * d:4 * d],
+        )
+        if mode == "MOL":
+            sample = mol_ops.sample_from_discretized_mix_logistic(sub, logits)
+        elif mode == "RAW":
+            cls = jax.random.categorical(sub, logits, axis=-1)
+            sample = 2.0 * cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+        else:
+            raise ValueError(f"Unknown mode {mode}")
+        return (sample[:, None], h1, h2, key), sample
+
+    x0 = jnp.zeros((B, 1), dtype=jnp.float32)
+    h0 = jnp.zeros((B, rnn_dims), dtype=jnp.float32)
+    (_, _, _, _), samples = jax.lax.scan(
+        step, (x0, h0, h0, key), (mels_t, aux_t)
+    )
+    return jnp.swapaxes(samples, 0, 1)  # (B, T)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Generator:
+    """End-to-end mel → waveform generation (ref WaveRNN.generate,
+    models/fatchord_version.py:169-264).
+
+    Owns the jitted upsample/decode programs; shape-buckets inputs to bound
+    recompilation.  ``backend='scan'`` uses the portable lax.scan decoder;
+    ``backend='pallas'`` uses the fused VMEM-resident TPU kernel.
+    """
+
+    def __init__(self, cfg: WaveRNNConfig, variables, backend: str = "scan",
+                 fold_bucket: int = 4, frame_bucket: int = 32):
+        self.cfg = cfg
+        self.variables = variables
+        self.model = WaveRNN(cfg)
+        self.backend = backend
+        self.fold_bucket = fold_bucket
+        self.frame_bucket = frame_bucket
+        self._upsample = jax.jit(
+            lambda v, m: self.model.apply(v, m, False, method=WaveRNN.upsample_only)
+        )
+        self.weights = extract_decode_weights(variables["params"])
+
+    # -- public API ----------------------------------------------------------
+
+    def __call__(
+        self,
+        mels: np.ndarray,
+        batched: bool,
+        target: int,
+        overlap: int,
+        mu_law: bool,
+        seed: int = 0,
+        progress_callback=None,
+    ) -> np.ndarray:
+        """mels: (n_mels, T_mel) or (1, n_mels, T_mel) normalized mel.
+        Returns float64 waveform of length (T_mel-1)*hop."""
+        c = self.cfg
+        mu_law = mu_law if c.mode == "RAW" else False
+
+        mels = np.asarray(mels, dtype=np.float32)
+        if mels.ndim == 2:
+            mels = mels[None]
+        assert mels.shape[0] == 1, "generate expects a single utterance"
+        mels = np.transpose(mels, (0, 2, 1))  # (1, T_mel, feat)
+
+        wave_len = (mels.shape[1] - 1) * c.hop_length
+
+        # context pad (ref pads pad frames both sides), then bucket-pad frames
+        t_real = mels.shape[1] + 2 * c.pad
+        t_bucket = _round_up(t_real, self.frame_bucket)
+        pre = c.pad
+        post = t_bucket - mels.shape[1] - c.pad
+        mels = np.pad(mels, ((0, 0), (pre, post), (0, 0)))
+
+        mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
+
+        if batched:
+            real_len = (t_bucket - 2 * c.pad) * c.hop_length
+            num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
+            mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
+            aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
+            pad_folds = _round_up(num_folds, self.fold_bucket) - num_folds
+            if pad_folds:
+                mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
+                aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
+        else:
+            mels_f, aux_f = mels_up, aux
+            num_folds = 1
+
+        key = jax.random.PRNGKey(seed)
+        samples = self._decode(mels_f, aux_f, key)
+        samples = np.asarray(samples, dtype=np.float64)[:num_folds]
+
+        if mu_law:
+            from wavernn_tpu.dsp import audio
+
+            samples = audio.decode_mu_law(samples, c.n_classes, False)
+
+        if batched:
+            output = np.asarray(
+                fold_ops.xfade_and_unfold(jnp.asarray(samples), overlap)
+            ).astype(np.float64)
+        else:
+            output = samples[0]
+
+        # linear tail fade to avoid an abrupt cut (ref: fatchord_version.py:255-258)
+        output = output[:wave_len]
+        fade_len = min(20 * c.hop_length, len(output))
+        if fade_len:
+            output[-fade_len:] *= np.linspace(1, 0, fade_len)
+        return output
+
+    # -- internals -------------------------------------------------------------
+
+    def _decode(self, mels_f, aux_f, key):
+        if self.backend == "pallas":
+            from wavernn_tpu.ops import pallas_decode
+
+            return pallas_decode.decode(
+                self.weights, mels_f, aux_f, key,
+                mode=self.cfg.mode, n_classes=self.cfg.n_classes,
+            )
+        return decode_scan(
+            self.weights, mels_f, aux_f, key,
+            mode=self.cfg.mode, n_classes=self.cfg.n_classes,
+        )

@@ -1,0 +1,125 @@
+"""Recurrent cells and scanned sequence RNNs.
+
+Explicit weight layout with torch gate conventions — GRU gates ordered
+(reset, update, new), LSTM gates (input, forget, cell, output) — so that:
+  * pretrained PyTorch reference checkpoints convert by pure transpose
+    (ref: models/fatchord_version.py:117-118, 273-279),
+  * the Pallas decode kernel and the lax.scan sampler consume the same raw
+    weight arrays as the training graph.
+
+Sequence iteration is ``flax.linen.scan`` (single XLA while-loop, compiled
+once) — the TPU replacement for cuDNN's fused GRU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def gru_cell_step(x, h, w_ih, w_hh, b_ih, b_hh):
+    """One GRU step in torch convention.  x:(B,I) h:(B,H) → h':(B,H)."""
+    H = h.shape[-1]
+    gi = x @ w_ih + b_ih
+    gh = h @ w_hh + b_hh
+    i_r, i_z, i_n = gi[..., :H], gi[..., H: 2 * H], gi[..., 2 * H:]
+    h_r, h_z, h_n = gh[..., :H], gh[..., H: 2 * H], gh[..., 2 * H:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def lstm_cell_step(x, h, c, w_ih, w_hh, b_ih, b_hh):
+    """One LSTM step in torch convention.  Returns (h', c')."""
+    H = h.shape[-1]
+    gates = x @ w_ih + h @ w_hh + b_ih + b_hh
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H: 2 * H])
+    g = jnp.tanh(gates[..., 2 * H: 3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H:])
+    c = f * c + i * g
+    return o * jnp.tanh(c), c
+
+
+class GRUCell(nn.Module):
+    """GRU cell with torch weight layout: w_ih (I,3H), w_hh (H,3H)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray):
+        in_dim = x.shape[-1]
+        bound = 1.0 / self.hidden ** 0.5
+        init = _uniform_init(bound)
+        w_ih = self.param("w_ih", init, (in_dim, 3 * self.hidden))
+        w_hh = self.param("w_hh", init, (self.hidden, 3 * self.hidden))
+        b_ih = self.param("b_ih", init, (3 * self.hidden,))
+        b_hh = self.param("b_hh", init, (3 * self.hidden,))
+        h = gru_cell_step(x, h, w_ih, w_hh, b_ih, b_hh)
+        return h, h
+
+
+class LSTMCell(nn.Module):
+    """LSTM cell with torch weight layout: w_ih (I,4H), w_hh (H,4H)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, carry: Tuple[jnp.ndarray, jnp.ndarray], x: jnp.ndarray):
+        h, c = carry
+        in_dim = x.shape[-1]
+        bound = 1.0 / self.hidden ** 0.5
+        init = _uniform_init(bound)
+        w_ih = self.param("w_ih", init, (in_dim, 4 * self.hidden))
+        w_hh = self.param("w_hh", init, (self.hidden, 4 * self.hidden))
+        b_ih = self.param("b_ih", init, (4 * self.hidden,))
+        b_hh = self.param("b_hh", init, (4 * self.hidden,))
+        h, c = lstm_cell_step(x, h, c, w_ih, w_hh, b_ih, b_hh)
+        return (h, c), h
+
+
+class GRU(nn.Module):
+    """Unidirectional GRU over a (B, T, C) sequence via a scanned cell.
+
+    Returns (outputs (B,T,H), final hidden (B,H)).
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None):
+        B = xs.shape[0]
+        if h0 is None:
+            h0 = jnp.zeros((B, self.hidden), dtype=xs.dtype)
+        scan = nn.scan(
+            GRUCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        h, ys = scan(hidden=self.hidden, name="cell")(h0, xs)
+        return ys, h
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU: concatenated forward/backward outputs (B,T,2H)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray):
+        fwd, _ = GRU(self.hidden, name="fwd")(xs)
+        bwd, _ = GRU(self.hidden, name="bwd")(jnp.flip(xs, axis=1))
+        return jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)
