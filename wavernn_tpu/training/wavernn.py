@@ -1,0 +1,146 @@
+"""WaveRNN vocoder training runtime (ref: train_wavernn.py:91-155).
+
+One jitted train step (forward + loss + clipped Adam update + batch-stat
+update) compiled once; the epoch loop streams progress, runs the audition
+generation + named checkpoint every ``voc_checkpoint_every`` steps, and
+rewrites the latest checkpoint each epoch.
+
+Data parallelism: the step is sharding-agnostic — when the caller places
+batches with a NamedSharding over a device mesh, XLA inserts the gradient
+all-reduce automatically (psum over ICI), superseding the reference's
+DataParallel workaround (ref: utils/__init__.py:19-36).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from wavernn_tpu.config import hp
+from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+from wavernn_tpu.ops.mol import discretized_mix_logistic_loss
+from wavernn_tpu.paths import Paths
+from wavernn_tpu.training.state import TrainState
+from wavernn_tpu.utils.checkpoints import save_checkpoint
+from wavernn_tpu.utils.display import stream
+
+
+def append_log(path, msg: str) -> None:
+    """Append-only text log (ref: models/fatchord_version.py:410-412)."""
+    with open(path, "a") as f:
+        print(msg, file=f)
+
+
+def make_train_step(model: WaveRNN, optimizer: optax.GradientTransformation,
+                    mode: str, donate: bool = True) -> Callable:
+    """Build the jitted vocoder train step."""
+
+    def loss_fn(params, batch_stats, x, y, mels):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, mels, True, mutable=["batch_stats"],
+        )
+        if mode == "RAW":
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+        elif mode == "MOL":
+            loss = discretized_mix_logistic_loss(logits, y)
+        else:
+            raise ValueError(f"Unknown mode {mode}")
+        return loss, mutated["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, x, y, mels):
+        (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x, y, mels
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss, grad_norm
+
+    return train_step
+
+
+def voc_train_loop(
+    paths: Paths,
+    cfg: WaveRNNConfig,
+    state: TrainState,
+    optimizer: optax.GradientTransformation,
+    train_set,
+    test_set,
+    total_steps: int,
+    shard_batch: Optional[Callable] = None,
+    gen_at_checkpoint: bool = True,
+) -> TrainState:
+    """Epoch/step training loop with in-loop audition + checkpoint cadence."""
+    from wavernn_tpu.infer.wavernn import gen_testset
+
+    model = WaveRNN(cfg)
+    train_step = make_train_step(model, optimizer, cfg.mode)
+
+    total_iters = len(train_set)
+    epochs = max(0, (total_steps - state.get_step()) // max(total_iters, 1) + 1)
+    msg = ""
+
+    for e in range(1, epochs + 1):
+        start = time.time()
+        running_loss = 0.0
+
+        for i, (x, y, mels) in enumerate(train_set, 1):
+            if shard_batch is not None:
+                x, y, mels = shard_batch(x, y, mels)
+            state, loss, grad_norm = train_step(state, x, y, mels)
+
+            loss_f = float(loss)
+            if np.isnan(float(grad_norm)):
+                print("grad_norm was NaN!")
+            running_loss += loss_f
+            avg_loss = running_loss / i
+            speed = i / (time.time() - start)
+            step = state.get_step()
+            k = step // 1000
+
+            if step % hp.voc_checkpoint_every == 0:
+                if gen_at_checkpoint:
+                    gen_testset(
+                        cfg, state, test_set, hp.voc_gen_at_checkpoint,
+                        hp.voc_gen_batched, hp.voc_target, hp.voc_overlap,
+                        paths.voc_output,
+                    )
+                save_checkpoint("voc", paths, state,
+                                name=f"wave_step{k}K", is_silent=True)
+
+            msg = (
+                f"| Epoch: {e}/{epochs} ({i}/{total_iters}) | "
+                f"Loss: {avg_loss:.4f} | {speed:.1f} steps/s | Step: {k}k | "
+            )
+            stream(msg)
+
+            if step >= total_steps:
+                break
+
+        save_checkpoint("voc", paths, state, is_silent=True)
+        append_log(paths.voc_log, msg)
+        print(" ")
+        if state.get_step() >= total_steps:
+            break
+
+    return state
+
+
+def create_gta_features_for_vocoder():  # pragma: no cover - placeholder
+    raise NotImplementedError("GTA features are exported by the Tacotron trainer")
