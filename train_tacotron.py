@@ -1,0 +1,76 @@
+"""Tacotron TTS training CLI with curriculum schedule + GTA export
+(ref: train_tacotron.py)."""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from wavernn_tpu.config import hp
+from wavernn_tpu.data.dataset import get_tts_datasets
+from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig, tacotron_num_params
+from wavernn_tpu.paths import Paths
+from wavernn_tpu.text.symbols import symbols
+from wavernn_tpu.training.state import make_optimizer, new_train_state
+from wavernn_tpu.training.tacotron import create_gta_features, run_schedule
+from wavernn_tpu.utils.checkpoints import restore_checkpoint
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train Tacotron TTS")
+    parser.add_argument("--force_train", "-f", action="store_true",
+                        help="force the model to train past total steps")
+    parser.add_argument("--force_gta", "-g", action="store_true",
+                        help="force the model to create GTA features")
+    parser.add_argument("--force_cpu", "-c", action="store_true",
+                        help="force CPU-only training")
+    parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",
+                        help="the file to use for the hyperparameters")
+    args = parser.parse_args()
+
+    hp.configure(args.hp_file)
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    paths = Paths(hp.data_path, hp.voc_model_id, hp.tts_model_id)
+    devices = jax.devices()
+    print("Using devices:", devices)
+    for _, _, _, batch_size in hp.tts_schedule:
+        if batch_size % len(devices) != 0:
+            raise ValueError("`batch_size` must be evenly divisible by the device count!")
+
+    print("\nInitialising Tacotron Model...\n")
+    cfg = TacotronConfig.from_hp(hp, num_chars=len(symbols))
+    model = Tacotron(cfg)
+
+    r0 = hp.tts_schedule[0][0]
+    x0 = jnp.zeros((1, 16), jnp.int32)
+    m0 = jnp.zeros((1, 5 * r0, cfg.n_mels))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0, m0, r0, True,
+    )
+    print("Trainable Parameters: %.3fM" % tacotron_num_params(variables["params"]))
+
+    optimizer = make_optimizer(hp.tts_schedule[0][1], hp.tts_clip_grad_norm)
+    state = new_train_state(variables["params"], variables["batch_stats"], optimizer)
+    state = restore_checkpoint("tts", paths, state, create_if_missing=True)
+
+    if not args.force_gta:
+        def get_datasets(batch_size, r):
+            return get_tts_datasets(paths.data, batch_size, r)
+
+        state = run_schedule(paths, cfg, state, optimizer, get_datasets,
+                             force_train=args.force_train)
+        print("Training Complete.")
+        print("To continue training increase the schedule in hparams.py or use --force_train\n")
+
+    print("Creating Ground Truth Aligned Dataset...\n")
+    final_r = hp.tts_schedule[-1][0]
+    train_set, _ = get_tts_datasets(paths.data, 8, final_r)
+    create_gta_features(cfg, state, train_set, paths.gta, final_r)
+    print("\n\nYou can now train WaveRNN on GTA features - use python train_wavernn.py --gta\n")
+
+
+if __name__ == "__main__":
+    main()

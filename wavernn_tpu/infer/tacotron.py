@@ -1,0 +1,89 @@
+"""Free-running Tacotron generation (ref Tacotron.generate,
+models/tacotron.py:370-430).
+
+The whole text→mel graph — encode, fixed-length decode scan with a done-mask
+replacing the reference's Python ``break``, postnet — compiles to one XLA
+program per (text-length, r, steps) signature.  The host trims the output at
+the first all-silent frame group.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig, init_decoder_carry
+
+
+class TTSGenerator:
+    """Jitted text → (mel, linear, attention) generator."""
+
+    def __init__(self, cfg: TacotronConfig, variables, steps: int = 2000,
+                 text_bucket: int = 32):
+        self.cfg = cfg
+        self.variables = variables
+        self.model = Tacotron(cfg)
+        self.steps = steps
+        self.text_bucket = text_bucket
+
+        @partial(jax.jit, static_argnames=("r",))
+        def run(variables, x, r: int):
+            cfg_ = self.cfg
+            model = self.model
+            B, L = x.shape
+            n_iters = steps // r
+
+            enc, enc_proj = model.apply(
+                variables, x, False, method=Tacotron.encode
+            )
+            carry0 = init_decoder_carry(cfg_, B, L)
+            prev0 = jnp.zeros((B, cfg_.n_mels))
+            done0 = jnp.zeros((B,), dtype=bool)
+
+            def step(state, t):
+                carry, prev, done = state
+                carry, (mels, scores) = model.apply(
+                    variables, carry, enc, enc_proj, prev, r,
+                    method=Tacotron.decode_step,
+                )
+                prev = mels[:, :, -1]
+                group_done = jnp.all(mels < cfg_.stop_threshold, axis=(1, 2))
+                done = done | (group_done & (t * r > 10))
+                return (carry, prev, done), (mels, scores, done)
+
+            _, (mels_seq, scores_seq, done_seq) = jax.lax.scan(
+                step, (carry0, prev0, done0), jnp.arange(n_iters)
+            )
+            # (T/r, B, n_mels, r) → (B, steps, n_mels)
+            mel_outputs = jnp.transpose(mels_seq, (1, 0, 3, 2)).reshape(
+                B, n_iters * r, cfg_.n_mels
+            )
+            linear = self.model.apply(
+                variables, mel_outputs, False, method=Tacotron.postnet_forward
+            )
+            attn = jnp.swapaxes(scores_seq, 0, 1)  # (B, T/r, L)
+            done_bt = jnp.swapaxes(done_seq, 0, 1)  # (B, T/r)
+            n_valid = jnp.where(
+                jnp.any(done_bt, axis=1),
+                jnp.argmax(done_bt, axis=1) + 1,
+                n_iters,
+            )
+            return mel_outputs, linear, attn, n_valid
+
+        self._run = run
+
+    def __call__(self, x, r: int,
+                 steps: int = None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """x: 1-D int sequence of symbol ids.
+        Returns (mel (n_mels, T), linear (fft_bins, T), attn (T/r, L))."""
+        x = np.asarray(x, dtype=np.int32)[None]
+        mel, linear, attn, n_valid = self._run(self.variables, jnp.asarray(x), r)
+        n = int(n_valid[0]) * r
+        mel = np.asarray(mel)[0, :n].T           # (n_mels, T)
+        linear = np.asarray(linear)[0, :n].T     # (fft_bins, T)
+        attn = np.asarray(attn)[0, : int(n_valid[0])]  # (T/r, L)
+        return mel, linear, attn

@@ -1,0 +1,134 @@
+"""Mesh construction + sharding placement (SURVEY.md C23).
+
+Design: the idiomatic XLA-SPMD recipe — build a ``jax.sharding.Mesh``,
+annotate data and parameters with NamedShardings, and let the compiler
+insert the collectives (gradient psum over ICI replaces the reference's
+DataParallel scatter/gather).
+
+Axes:
+  * ``data``  — batch-dimension data parallelism for training, and the fold
+    dimension in batched generation (sequence-parallel synthesis: folds of
+    one long utterance decode on different chips and crossfade on host).
+  * ``model`` — tensor parallelism over the hidden/gate dimension of the big
+    recurrent matmuls and FC heads (used when a chip count exceeds what the
+    batch can feed).
+
+Multi-host: ``jax.distributed.initialize`` is invoked by the CLIs when the
+environment provides coordinator settings; this module only sees the global
+device list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass
+class MeshPlan:
+    """A mesh plus the partition specs used by the training/generation paths."""
+
+    mesh: Mesh
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape["data"]
+
+    @property
+    def n_model(self) -> int:
+        return self.mesh.shape["model"]
+
+    def data_sharding(self, ndim: int) -> NamedSharding:
+        """Batch-leading arrays: shard dim 0 over 'data'."""
+        return NamedSharding(self.mesh, P("data", *([None] * (ndim - 1))))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+
+def make_mesh(shape: Optional[Dict[str, int]] = None,
+              devices=None) -> MeshPlan:
+    """Build a (data, model) mesh.
+
+    ``shape`` e.g. {"data": 4, "model": 2}; None uses all devices on the data
+    axis (pure DP) — the reference's DataParallel semantics, minus the bug
+    workaround.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = {"data": n, "model": 1}
+    n_data = shape.get("data", 1)
+    n_model = shape.get("model", 1)
+    if n_data * n_model != n:
+        raise ValueError(
+            f"mesh shape {shape} does not match device count {n}"
+        )
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return MeshPlan(Mesh(dev_array, axis_names=("data", "model")))
+
+
+def shard_batch_fn(plan: MeshPlan) -> Callable:
+    """Returns a function placing numpy batch arrays onto the mesh with the
+    batch dim sharded over 'data'.  Batch size must divide n_data (the
+    reference enforces the same divisibility, ref: train_wavernn.py:45-46)."""
+
+    def place(*arrays):
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            if a.shape[0] % plan.n_data != 0:
+                raise ValueError(
+                    f"batch size {a.shape[0]} must be divisible by the data-"
+                    f"parallel degree {plan.n_data}"
+                )
+            out.append(jax.device_put(a, plan.data_sharding(a.ndim)))
+        return tuple(out)
+
+    return place
+
+
+# -- parameter sharding rules -------------------------------------------------------
+
+
+def _param_spec(path: tuple, leaf) -> P:
+    """Tensor-parallel layout for WaveRNN/Tacotron parameter pytrees.
+
+    Gate-blocked recurrent matrices (w_ih/w_hh: (in, G*H)) and FC kernels
+    shard their *output* dimension over 'model'; biases of the same layers
+    shard likewise; everything else (small convs, norms, embeddings) is
+    replicated.  XLA inserts the all-gathers/reduce-scatters this layout
+    implies.
+    """
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    if leaf.ndim == 2 and any(k in joined for k in ("w_ih", "w_hh", "kernel")):
+        # shard output dim if large enough to matter and divisible
+        return P(None, "model")
+    if leaf.ndim == 1 and any(k in joined for k in ("b_ih", "b_hh", "bias")):
+        return P("model")
+    return P()
+
+
+def shard_params(plan: MeshPlan, params, tensor_parallel: bool = True):
+    """Place a parameter pytree on the mesh (replicated, or TP over 'model')."""
+    mesh = plan.mesh
+
+    def place(path, leaf):
+        if not tensor_parallel or plan.n_model == 1:
+            spec = P()
+        else:
+            spec = _param_spec(path, leaf)
+            # divisibility guard: replicate anything that doesn't tile evenly
+            for dim, axis in enumerate(spec):
+                if axis == "model" and leaf.shape[dim] % plan.n_model != 0:
+                    spec = P()
+                    break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
