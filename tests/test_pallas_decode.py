@@ -1,0 +1,120 @@
+"""Pallas decode kernel tests (interpret mode on CPU).
+
+The kernel must match the lax.scan reference decoder in deterministic
+(argmax) sampling mode up to bf16 trajectory noise, and pack weights /
+conditioning into the aligned layout correctly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+from wavernn_tpu.ops.decode import decode_scan, extract_decode_weights
+
+
+def small_cfg(mode):
+    return WaveRNNConfig(
+        rnn_dims=128, fc_dims=128, mode=mode,
+        compute_dims=32, res_out_dims=32, res_blocks=2,
+    )
+
+
+def make_inputs(cfg, B=4, T=256):
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                   jnp.zeros((1, 5, 80)), True)
+    w = extract_decode_weights(v["params"])
+    rng = np.random.default_rng(0)
+    mels_up = jnp.asarray(rng.uniform(0, 1, (B, T, cfg.feat_dims)), jnp.float32)
+    aux = jnp.asarray(rng.uniform(0, 1, (B, T, cfg.res_out_dims)), jnp.float32)
+    return w, mels_up, aux
+
+
+def test_pack_conditioning_layout():
+    from wavernn_tpu.ops.pallas_decode import LANE, pack_conditioning
+
+    B, T, feat, aux_d = 2, 8, 80, 8
+    rng = np.random.default_rng(1)
+    mels = jnp.asarray(rng.uniform(0, 1, (B, T, feat)), jnp.float32)
+    aux = jnp.asarray(rng.uniform(0, 1, (B, T, 4 * aux_d)), jnp.float32)
+    cond = np.asarray(pack_conditioning(mels, aux, B_pad=16, T_pad=128))
+    assert cond.shape == (128, 16, 2 * LANE)
+    # seg0 = [mel | a1 | 0]
+    np.testing.assert_allclose(cond[:T, :B, :feat],
+                               np.swapaxes(np.asarray(mels, np.float32), 0, 1),
+                               atol=1e-2)
+    np.testing.assert_allclose(cond[:T, :B, feat:feat + aux_d],
+                               np.swapaxes(np.asarray(aux[..., :aux_d]), 0, 1),
+                               atol=1e-2)
+    assert (cond[:, :, feat + aux_d:LANE] == 0).all()
+    # seg1 = [a2 a3 a4 | 0]
+    np.testing.assert_allclose(cond[:T, :B, LANE:LANE + 3 * aux_d],
+                               np.swapaxes(np.asarray(aux[..., aux_d:]), 0, 1),
+                               atol=1e-2)
+    assert (cond[:, :, LANE + 3 * aux_d:] == 0).all()
+    # padding rows/batches are zero
+    assert (cond[T:] == 0).all() and (cond[:, B:] == 0).all()
+
+
+def test_pack_weights_shapes():
+    from wavernn_tpu.ops.pallas_decode import LANE, pack_weights
+
+    cfg = small_cfg("RAW")
+    w, _, _ = make_inputs(cfg)
+    H = cfg.rnn_dims
+    packed = pack_weights(w, cfg.feat_dims, cfg.aux_dims, 512)
+    assert packed["w_x"].shape == (1, H)
+    assert packed["w_Im"].shape == (LANE, H)
+    assert packed["w_ih1"].shape == (H, 3 * H)
+    assert packed["w2a"].shape == (LANE, 3 * H)
+    assert packed["w_fc3"].shape == (cfg.fc_dims, 512)
+    # padded logits blocked by -1e30 bias (MOL: 30 → 128 lanes)
+    mol = pack_weights(
+        extract_decode_weights(
+            WaveRNN(small_cfg("MOL")).init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                jnp.zeros((1, 5, 80)), True,
+            )["params"]
+        ),
+        cfg.feat_dims, cfg.aux_dims, 128,
+    )
+    assert mol["w_fc3"].shape[1] == 128
+    assert float(mol["b_fc3"][0, -1]) < -1e29
+    assert float(mol["b_fc3"][0, 29]) > -1e29
+    # aux row placement: a3 rows at offset aux_d in w1a
+    w1a = np.asarray(packed["w1a"], np.float32)
+    assert (w1a[: cfg.aux_dims] == 0).all()
+    np.testing.assert_allclose(
+        w1a[cfg.aux_dims: 2 * cfg.aux_dims],
+        np.asarray(w.fc1_w[H:], np.float32).astype(np.float32),
+        atol=1e-2,
+    )
+
+
+@pytest.mark.parametrize("mode", ["RAW", "MOL"])
+def test_kernel_matches_scan_deterministic(mode):
+    """Interpret-mode kernel vs lax.scan decoder, argmax sampling."""
+    from wavernn_tpu.ops import pallas_decode
+
+    cfg = small_cfg(mode)
+    w, mels_up, aux = make_inputs(cfg, B=4, T=256)
+    key = jax.random.PRNGKey(0)
+
+    try:
+        out_k = np.asarray(pallas_decode.decode(
+            w, mels_up, aux, key, mode=mode, n_classes=cfg.n_classes,
+            deterministic=True, interpret=True,
+        ))
+    except Exception as e:  # pragma: no cover - interpreter gaps
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+
+    out_s = np.asarray(decode_scan(
+        w, mels_up, aux, key, mode=mode, n_classes=cfg.n_classes,
+        deterministic=True,
+    ))
+    agree = np.mean(np.abs(out_k - out_s) < 2e-2)
+    assert agree > 0.95, f"agreement {agree}"
+    # the first steps should match tightly before bf16 drift compounds
+    assert np.abs(out_k[:, :20] - out_s[:, :20]).max() < 2e-2

@@ -98,7 +98,7 @@ def decode_step(w: DecodeWeights, x, h1, h2, m_t, a1_t, a2_t, a3_t, a4_t):
     return logits, h1, h2
 
 
-@partial(jax.jit, static_argnames=("mode", "n_classes"))
+@partial(jax.jit, static_argnames=("mode", "n_classes", "deterministic"))
 def decode_scan(
     weights: DecodeWeights,
     mels_up: jnp.ndarray,   # (B, T, feat)
@@ -106,6 +106,7 @@ def decode_scan(
     key: jax.Array,
     mode: str,
     n_classes: int,
+    deterministic: bool = False,
 ) -> jnp.ndarray:
     """Run the full autoregressive sample loop; returns (B, T) float samples."""
     B, T, _ = mels_up.shape
@@ -126,9 +127,19 @@ def decode_scan(
             a_t[..., 2 * d:3 * d], a_t[..., 3 * d:4 * d],
         )
         if mode == "MOL":
-            sample = mol_ops.sample_from_discretized_mix_logistic(sub, logits)
+            if deterministic:
+                nm = logits.shape[-1] // 3
+                sel = jnp.argmax(logits[..., :nm], axis=-1)
+                onehot = jax.nn.one_hot(sel, nm, dtype=logits.dtype)
+                sample = jnp.sum(logits[..., nm:2 * nm] * onehot, axis=-1)
+                sample = jnp.clip(sample, -1.0, 1.0)
+            else:
+                sample = mol_ops.sample_from_discretized_mix_logistic(sub, logits)
         elif mode == "RAW":
-            cls = jax.random.categorical(sub, logits, axis=-1)
+            if deterministic:
+                cls = jnp.argmax(logits, axis=-1)
+            else:
+                cls = jax.random.categorical(sub, logits, axis=-1)
             sample = 2.0 * cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
         else:
             raise ValueError(f"Unknown mode {mode}")

@@ -1,0 +1,394 @@
+"""Fused Pallas TPU kernel for the WaveRNN sample loop (SURVEY.md C22).
+
+The reference spends its entire generation budget in a Python loop calling
+cuDNN GRUCells once per audio sample (ref: models/fatchord_version.py:201-241).
+The lax.scan port removes dispatch overhead but still re-streams ~17 MB of
+f32 weights from HBM every step (~30 µs/step measured on v5e).
+
+This kernel instead:
+  * pins ALL network weights in VMEM as bf16 (~9 MB) for the whole decode —
+    per-step weight traffic drops from HBM bandwidth to VMEM bandwidth,
+  * streams the conditioning features from HBM in double-buffered chunks,
+    overlapping DMA with compute,
+  * fuses the two GRUs, three FC heads, and the categorical/MOL sampling
+    (on-core PRNG) into one program — zero HBM round-trips per step,
+  * writes samples back chunk-wise.
+
+Lane-alignment layout: per-step conditioning is packed into two 128-lane
+segments — seg0 = [mel(80) | a1(aux_d) | 0...], seg1 = [a2 | a3 | a4 | 0...]
+— and every weight matrix is split/row-padded so all matmul contraction dims
+are multiples of 128.  The scalar feedback sample enters via a broadcast
+multiply with the first row of the I matrix (no unaligned concat).
+
+Matmuls accumulate in f32 (preferred_element_type); recurrent state stays
+f32.  Batch (fold) dimension is padded to the bf16 sublane tile (16).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wavernn_tpu.ops.decode import DecodeWeights
+
+LANE = 128
+SUBLANE_BF16 = 16
+CHUNK = 128  # decode steps per conditioning DMA chunk
+SEG = 2 * LANE  # packed conditioning width per step
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 random bits → uniform floats in (0, 1)."""
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return f - 1.0 + 1e-7
+
+
+def _gumbel(bits: jnp.ndarray) -> jnp.ndarray:
+    u = _uniform_from_bits(bits)
+    return -jnp.log(-jnp.log(u))
+
+
+def _row_argmax(x: jnp.ndarray) -> jnp.ndarray:
+    """Argmax along the last axis (B, N) → (B, 1) int32 (first max wins)."""
+    n = x.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    hit = jnp.where(x >= m, idx, n)
+    return jnp.min(hit, axis=-1, keepdims=True)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    seed_ref,             # (1,) int32 in SMEM
+    # inputs
+    cond_hbm,             # (T, B, SEG) bf16 in HBM
+    w_x,                  # (1, H) f32 — x row of the I matrix
+    w_Im, b_I,            # (LANE, H) bf16 ; (1, H) f32
+    w_ih1, w_hh1, b1, b_hh1_n,   # (H,3H) bf16 ×2 ; (1,3H) f32 ; (1,H) f32
+    w_ih2x, w2a, w_hh2, b2, b_hh2_n,
+    w_fc1x, w1a, b_fc1,   # (H,F), (LANE,F) bf16 ; (1,F) f32
+    w_fc2x, w2a_fc, b_fc2,
+    w_fc3, b_fc3,         # (F, n_out_pad) bf16 ; (1, n_out_pad) f32
+    # outputs
+    out_hbm,              # (B, T) f32 in HBM — time on the lane axis
+    # scratch
+    cond_vmem,            # (2, CHUNK, B, SEG) bf16
+    out_vmem,             # (2, B, CHUNK) f32
+    x_ref,                # (B, 1) f32 — current sample
+    h1_ref, h2_ref,       # (B, H) f32
+    in_sems, out_sems,
+    *,
+    T: int,
+    mode: str,
+    n_classes: int,
+    deterministic: bool,
+):
+    B = x_ref.shape[0]
+    H = h1_ref.shape[1]
+
+    pltpu.prng_seed(seed_ref[0])
+
+    n_chunks = T // CHUNK
+
+    def in_dma(slot, chunk):
+        return pltpu.make_async_copy(
+            cond_hbm.at[pl.ds(chunk * CHUNK, CHUNK)],
+            cond_vmem.at[slot],
+            in_sems.at[slot],
+        )
+
+    def out_dma(slot, chunk):
+        return pltpu.make_async_copy(
+            out_vmem.at[slot],
+            out_hbm.at[:, pl.ds(pl.multiple_of(chunk * CHUNK, CHUNK), CHUNK)],
+            out_sems.at[slot],
+        )
+
+    x_ref[...] = jnp.zeros_like(x_ref)
+    h1_ref[...] = jnp.zeros_like(h1_ref)
+    h2_ref[...] = jnp.zeros_like(h2_ref)
+
+    in_dma(0, 0).start()
+
+    def bf(x):
+        return x.astype(jnp.bfloat16)
+
+    def gru_gates(gi, gh, h, b_r, b_hh_n_r):
+        """Torch-convention GRU update from precomputed input/hidden gate
+        pre-activations (f32).  b_r packs b_ih+b_hh for r/z and b_ih for n;
+        the hh-side n bias is scaled by r, so it stays separate."""
+        tot = gi + b_r[...]
+        r = jax.nn.sigmoid(tot[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(tot[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))
+        return (1.0 - z) * n + z * h
+
+    def chunk_body(chunk, _):
+        slot = chunk % 2
+
+        @pl.when(chunk + 1 < n_chunks)
+        def _():
+            in_dma((chunk + 1) % 2, chunk + 1).start()
+
+        in_dma(slot, chunk).wait()
+
+        @pl.when(chunk >= 2)
+        def _():
+            out_dma(slot, chunk - 2).wait()
+
+        def step_body(i, _):
+            cond = cond_vmem[slot, i]          # (B, SEG) bf16
+            seg0 = cond[:, :LANE]              # [mel | a1 | 0]
+            seg1 = cond[:, LANE:]              # [a2 | a3 | a4 | 0]
+
+            x = x_ref[...]                     # (B, 1) f32
+            h1 = h1_ref[...]
+            h2 = h2_ref[...]
+
+            # I projection: x*w_x (outer product) + [m,a1] @ w_Im + b_I
+            xi = (
+                x * w_x[...]
+                + jnp.dot(seg0, w_Im[...], preferred_element_type=jnp.float32)
+                + b_I[...]
+            )
+
+            gi1 = jnp.dot(bf(xi), w_ih1[...], preferred_element_type=jnp.float32)
+            gh1 = jnp.dot(bf(h1), w_hh1[...], preferred_element_type=jnp.float32)
+            h1 = gru_gates(gi1, gh1, h1, b1, b_hh1_n)
+            xr = xi + h1
+
+            gi2 = (
+                jnp.dot(bf(xr), w_ih2x[...], preferred_element_type=jnp.float32)
+                + jnp.dot(seg1, w2a[...], preferred_element_type=jnp.float32)
+            )
+            gh2 = jnp.dot(bf(h2), w_hh2[...], preferred_element_type=jnp.float32)
+            h2 = gru_gates(gi2, gh2, h2, b2, b_hh2_n)
+            xr = xr + h2
+
+            f1 = jax.nn.relu(
+                jnp.dot(bf(xr), w_fc1x[...], preferred_element_type=jnp.float32)
+                + jnp.dot(seg1, w1a[...], preferred_element_type=jnp.float32)
+                + b_fc1[...]
+            )
+            f2 = jax.nn.relu(
+                jnp.dot(bf(f1), w_fc2x[...], preferred_element_type=jnp.float32)
+                + jnp.dot(seg1, w2a_fc[...], preferred_element_type=jnp.float32)
+                + b_fc2[...]
+            )
+            logits = (
+                jnp.dot(bf(f2), w_fc3[...], preferred_element_type=jnp.float32)
+                + b_fc3[...]
+            )  # (B, n_out_pad); padded logits carry a -1e30 bias
+
+            if mode == "RAW":
+                if deterministic:
+                    scores = logits
+                else:
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits(logits.shape), jnp.uint32
+                    )
+                    scores = logits + _gumbel(bits)
+                cls = _row_argmax(scores)
+                sample = 2.0 * cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+            else:  # MOL
+                nm = n_classes // 3
+                pi = logits[:, :nm]
+                mu = logits[:, nm: 2 * nm]
+                ls = jnp.maximum(
+                    logits[:, 2 * nm: 3 * nm], jnp.float32(np.log(1e-14))
+                )
+                if deterministic:
+                    sel = _row_argmax(pi)
+                else:
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits(pi.shape), jnp.uint32
+                    )
+                    sel = _row_argmax(pi + _gumbel(bits))
+                idx = jax.lax.broadcasted_iota(jnp.int32, pi.shape, 1)
+                onehot = (idx == sel).astype(jnp.float32)
+                mean = jnp.sum(mu * onehot, axis=1, keepdims=True)
+                log_scale = jnp.sum(ls * onehot, axis=1, keepdims=True)
+                if deterministic:
+                    sample = mean
+                else:
+                    ubits = pltpu.bitcast(
+                        pltpu.prng_random_bits(mean.shape), jnp.uint32
+                    )
+                    u = jnp.clip(_uniform_from_bits(ubits), 1e-5, 1.0 - 1e-5)
+                    sample = mean + jnp.exp(log_scale) * (
+                        jnp.log(u) - jnp.log(1.0 - u)
+                    )
+                sample = jnp.clip(sample, -1.0, 1.0)
+
+            x_ref[...] = sample
+            h1_ref[...] = h1
+            h2_ref[...] = h2
+            # masked column write: lane stores must be tile-aligned, so
+            # read-modify-write the whole (B, CHUNK) tile (tiny, stays in VMEM)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK), 1)
+            out_vmem[slot] = jnp.where(lane == i, sample, out_vmem[slot])
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, step_body, 0)
+        out_dma(slot, chunk).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+    out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+
+def pack_conditioning(mels_up: jnp.ndarray, aux: jnp.ndarray,
+                      B_pad: int, T_pad: int) -> jnp.ndarray:
+    """(B,T,feat) + (B,T,4*aux_d) → (T_pad, B_pad, SEG) bf16 aligned stream."""
+    B, T, feat = mels_up.shape
+    aux_d = aux.shape[-1] // 4
+    assert feat + aux_d <= LANE, "mel+a1 must fit one lane segment"
+    assert 3 * aux_d <= LANE, "a2..a4 must fit one lane segment"
+
+    seg0 = jnp.concatenate(
+        [mels_up, aux[..., :aux_d],
+         jnp.zeros((B, T, LANE - feat - aux_d), mels_up.dtype)], axis=-1
+    )
+    seg1 = jnp.concatenate(
+        [aux[..., aux_d:], jnp.zeros((B, T, LANE - 3 * aux_d), aux.dtype)],
+        axis=-1,
+    )
+    cond = jnp.concatenate([seg0, seg1], axis=-1)  # (B, T, SEG)
+    cond = jnp.pad(cond, ((0, B_pad - B), (0, T_pad - T), (0, 0)))
+    return jnp.swapaxes(cond, 0, 1).astype(jnp.bfloat16)
+
+
+def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
+    """Split/pad the decode weights into the kernel's aligned layout."""
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    bf = lambda a: jnp.asarray(a, jnp.bfloat16)
+    H = w.gru1_w_hh.shape[0]
+    F = w.fc1_w.shape[1]
+
+    def pad_rows(mat, row_offset, total_rows):
+        out = jnp.zeros((total_rows, mat.shape[1]), mat.dtype)
+        return out.at[row_offset: row_offset + mat.shape[0]].set(mat)
+
+    def gru_bias(b_ih, b_hh):
+        b = jnp.concatenate([
+            f32(b_ih[:H] + b_hh[:H]),
+            f32(b_ih[H:2 * H] + b_hh[H:2 * H]),
+            f32(b_ih[2 * H:]),
+        ])[None]
+        return b, f32(b_hh[2 * H:])[None]
+
+    b1, b_hh1_n = gru_bias(w.gru1_b_ih, w.gru1_b_hh)
+    b2, b_hh2_n = gru_bias(w.gru2_b_ih, w.gru2_b_hh)
+
+    n_out = w.fc3_w.shape[1]
+    pad = n_out_pad - n_out
+    w_fc3 = jnp.pad(bf(w.fc3_w), ((0, 0), (0, pad)))
+    b_fc3 = jnp.pad(f32(w.fc3_b), (0, pad), constant_values=-1e30)[None]
+
+    return dict(
+        w_x=f32(w.I_w[0])[None],                               # (1, H)
+        w_Im=bf(pad_rows(w.I_w[1:], 0, LANE)),                 # (LANE, H)
+        b_I=f32(w.I_b)[None],
+        w_ih1=bf(w.gru1_w_ih), w_hh1=bf(w.gru1_w_hh),
+        b1=b1, b_hh1_n=b_hh1_n,
+        w_ih2x=bf(w.gru2_w_ih[:H]),
+        w2a=bf(pad_rows(w.gru2_w_ih[H:], 0, LANE)),            # a2 rows at 0
+        w_hh2=bf(w.gru2_w_hh), b2=b2, b_hh2_n=b_hh2_n,
+        w_fc1x=bf(w.fc1_w[:H]),
+        w1a=bf(pad_rows(w.fc1_w[H:], aux_d, LANE)),            # a3 rows at aux_d
+        b_fc1=f32(w.fc1_b)[None],
+        w_fc2x=bf(w.fc2_w[:F]),
+        w2a_fc=bf(pad_rows(w.fc2_w[F:], 2 * aux_d, LANE)),     # a4 rows at 2*aux_d
+        b_fc2=f32(w.fc2_b)[None],
+        w_fc3=w_fc3, b_fc3=b_fc3,
+    )
+
+
+_WEIGHT_ORDER = [
+    "w_x", "w_Im", "b_I",
+    "w_ih1", "w_hh1", "b1", "b_hh1_n",
+    "w_ih2x", "w2a", "w_hh2", "b2", "b_hh2_n",
+    "w_fc1x", "w1a", "b_fc1",
+    "w_fc2x", "w2a_fc", "b_fc2",
+    "w_fc3", "b_fc3",
+]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "n_classes", "deterministic", "interpret"),
+)
+def decode(
+    weights: DecodeWeights,
+    mels_up: jnp.ndarray,   # (B, T, feat) f32
+    aux: jnp.ndarray,       # (B, T, 4*aux_d) f32
+    key: jax.Array,
+    mode: str,
+    n_classes: int,
+    deterministic: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples."""
+    B, T, feat = mels_up.shape
+    aux_d = aux.shape[-1] // 4
+    H = weights.gru1_w_hh.shape[0]
+
+    B_pad = _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16)
+    T_pad = _round_up(T, CHUNK)
+
+    cond = pack_conditioning(mels_up, aux, B_pad, T_pad)
+
+    n_out = weights.fc3_w.shape[1]
+    n_out_pad = _round_up(n_out, LANE)
+    packed = pack_weights(weights, feat, aux_d, n_out_pad)
+
+    seed = jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        T=T_pad, mode=mode, n_classes=n_classes, deterministic=deterministic,
+    )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _WEIGHT_ORDER]
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, CHUNK, B_pad, SEG), jnp.bfloat16),
+                pltpu.VMEM((2, B_pad, CHUNK), jnp.float32),
+                pltpu.VMEM((B_pad, 1), jnp.float32),
+                pltpu.VMEM((B_pad, H), jnp.float32),
+                pltpu.VMEM((B_pad, H), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B_pad, T_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(seed, cond, *[packed[k] for k in _WEIGHT_ORDER])
+
+    return out[:B, :T]
