@@ -1,0 +1,124 @@
+"""Parallelism tests on the 8-device virtual CPU mesh: mesh construction,
+batch/parameter sharding, data-parallel train-step equivalence (gradient
+psum replaces the reference's DataParallel gather — SURVEY.md C16/C23)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavernn_tpu.parallel.mesh import make_mesh, shard_batch_fn, shard_params
+
+
+def test_mesh_shapes():
+    plan = make_mesh()
+    assert plan.n_data == 8 and plan.n_model == 1
+    plan2 = make_mesh({"data": 4, "model": 2})
+    assert plan2.n_data == 4 and plan2.n_model == 2
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3, "model": 2})
+
+
+def test_shard_batch_divisibility():
+    plan = make_mesh({"data": 4, "model": 2})
+    place = shard_batch_fn(plan)
+    (x,) = place(np.zeros((8, 3)))
+    assert x.shape == (8, 3)
+    with pytest.raises(ValueError):
+        place(np.zeros((6, 3)))
+
+
+def test_shard_params_tp_layout():
+    plan = make_mesh({"data": 4, "model": 2})
+    params = {
+        "rnn": {"cell": {"w_ih": jnp.zeros((64, 192)), "b_ih": jnp.zeros(192)}},
+        "norm": {"scale": jnp.zeros(7)},  # not divisible → replicated
+    }
+    with plan.mesh:
+        sharded = shard_params(plan, params, tensor_parallel=True)
+    w = sharded["rnn"]["cell"]["w_ih"]
+    # output dim sharded over 'model'
+    assert "model" in str(w.sharding.spec)
+    assert str(sharded["norm"]["scale"].sharding.spec) == "PartitionSpec()"
+
+
+def test_dp_train_step_matches_single_device():
+    """A data-parallel sharded train step must produce the same loss and
+    updated params as the unsharded one (XLA inserts the grad all-reduce)."""
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.training.state import make_optimizer, new_train_state
+    from wavernn_tpu.training.wavernn import make_train_step
+
+    cfg = WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=8, pad=2, upsample_factors=(2, 2),
+        feat_dims=8, compute_dims=8, res_out_dims=8, res_blocks=1,
+        hop_length=4, sample_rate=1000, mode="RAW",
+    )
+    model = WaveRNN(cfg)
+    B = 8
+    mel_win, seq_len = 4 + 2 * cfg.pad, 4 * cfg.hop_length
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (B, seq_len)).astype(np.float32)
+    y = rng.integers(0, cfg.n_classes, (B, seq_len)).astype(np.int32)
+    mels = rng.uniform(0, 1, (B, mel_win, cfg.feat_dims)).astype(np.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mels), True)
+    opt = make_optimizer(1e-3, 4.0)
+
+    def run(shard: bool):
+        state = new_train_state(variables["params"], variables["batch_stats"], opt)
+        step = make_train_step(model, opt, cfg.mode, donate=False)
+        if shard:
+            plan = make_mesh()  # 8-way DP
+            place = shard_batch_fn(plan)
+            with plan.mesh:
+                xb, yb, mb = place(x, y, mels)
+                state, loss, gn = step(state, xb, yb, mb)
+        else:
+            state, loss, gn = step(state, x, y, mels)
+        return float(loss), jax.device_get(state.params)
+
+    loss_1, params_1 = run(False)
+    loss_8, params_8 = run(True)
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fold_sharded_generation():
+    """Sequence-parallel generation: the fold axis sharded over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.ops.decode import decode_scan, extract_decode_weights
+
+    cfg = WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=8, pad=2, upsample_factors=(2, 2),
+        feat_dims=8, compute_dims=8, res_out_dims=8, res_blocks=1,
+        hop_length=4, sample_rate=1000, mode="RAW",
+    )
+    model = WaveRNN(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16)), jnp.zeros((1, 8, 8)), True
+    )
+    w = extract_decode_weights(variables["params"])
+
+    plan = make_mesh()
+    folds, T = 16, 32
+    rng = np.random.default_rng(0)
+    with plan.mesh:
+        sharding = NamedSharding(plan.mesh, P("data", None, None))
+        mels_up = jax.device_put(
+            rng.uniform(0, 1, (folds, T, cfg.feat_dims)).astype(np.float32), sharding
+        )
+        aux = jax.device_put(
+            rng.uniform(0, 1, (folds, T, cfg.res_out_dims)).astype(np.float32), sharding
+        )
+        samples = decode_scan(
+            w, mels_up, aux, jax.random.PRNGKey(0),
+            mode=cfg.mode, n_classes=cfg.n_classes,
+        )
+        out = np.asarray(samples)
+    assert out.shape == (folds, T)
+    assert np.isfinite(out).all()

@@ -168,22 +168,30 @@ class UpsampleNetwork(nn.Module):
                         self.pad, name="resnet")(m, train)
         aux = stretch_time(aux, total_scale)
 
-        # main path: one smoothing conv per scale, shared across mel channels.
-        # A (1, 2s+1) single-channel 2D conv == per-channel time smoothing.
-        x = m[..., None]  # (B, T, C_mel, 1) — NHWC with mel rows as H
-        x = jnp.swapaxes(x, 1, 2)  # (B, C_mel, T, 1)
+        # main path: one smoothing conv per scale, a single (2s+1)-tap kernel
+        # SHARED across all mel channels (the reference's 1-channel Conv2d,
+        # ref: fatchord_version.py:74-78).  Implemented as a depthwise NWC
+        # conv with the shared kernel broadcast over channels — channel-last
+        # keeps the lane dim = n_mels (TPU-tileable), unlike a (.., T, 1)
+        # image layout whose size-1 trailing dim would pad 128x.
+        x = m  # (B, T, C_mel)
+        C = x.shape[-1]
         for i, scale in enumerate(self.upsample_factors):
-            x = jnp.repeat(x, scale, axis=2)
+            x = jnp.repeat(x, scale, axis=1)
             k_size = scale * 2 + 1
-            x = nn.Conv(
-                features=1,
-                kernel_size=(1, k_size),
-                padding=((0, 0), (scale, scale)),
-                use_bias=False,
-                kernel_init=nn.initializers.constant(1.0 / k_size),
-                name=f"up{i}",
-            )(x)
-        x = jnp.swapaxes(x[..., 0], 1, 2)  # (B, T*total, C_mel)
+            w = self.param(
+                f"up{i}_kernel",
+                nn.initializers.constant(1.0 / k_size),
+                (k_size,),
+            )
+            kernel = jnp.broadcast_to(w[:, None, None], (k_size, 1, C))
+            x = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype),
+                window_strides=(1,),
+                padding=[(scale, scale)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=C,
+            )
         x = x[:, indent:-indent, :]
         return x, aux
 

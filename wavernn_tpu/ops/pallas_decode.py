@@ -39,8 +39,9 @@ from wavernn_tpu.ops.decode import DecodeWeights
 
 LANE = 128
 SUBLANE_BF16 = 16
-CHUNK = 128  # decode steps per conditioning DMA chunk
+CHUNK = 128   # decode steps per conditioning DMA chunk
 SEG = 2 * LANE  # packed conditioning width per step
+B_TILE = 32   # folds decoded per grid program (bounds VMEM scratch)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,13 +97,16 @@ def _decode_kernel(
     B = x_ref.shape[0]
     H = h1_ref.shape[1]
 
-    pltpu.prng_seed(seed_ref[0])
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     n_chunks = T // CHUNK
 
+    g = pl.program_id(0)  # fold-group index
+    b0 = pl.multiple_of(g * B, B)
+
     def in_dma(slot, chunk):
         return pltpu.make_async_copy(
-            cond_hbm.at[pl.ds(chunk * CHUNK, CHUNK)],
+            cond_hbm.at[pl.ds(chunk * CHUNK, CHUNK), pl.ds(b0, B)],
             cond_vmem.at[slot],
             in_sems.at[slot],
         )
@@ -110,7 +114,8 @@ def _decode_kernel(
     def out_dma(slot, chunk):
         return pltpu.make_async_copy(
             out_vmem.at[slot],
-            out_hbm.at[:, pl.ds(pl.multiple_of(chunk * CHUNK, CHUNK), CHUNK)],
+            out_hbm.at[pl.ds(b0, B),
+                       pl.ds(pl.multiple_of(chunk * CHUNK, CHUNK), CHUNK)],
             out_sems.at[slot],
         )
 
@@ -348,7 +353,14 @@ def decode(
     aux_d = aux.shape[-1] // 4
     H = weights.gru1_w_hh.shape[0]
 
-    B_pad = _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16)
+    # fold-group tiling: ≤ B_TILE folds per grid program (bounds VMEM)
+    if B <= B_TILE:
+        B_pad = _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16)
+        n_groups = 1
+    else:
+        B_pad = _round_up(B, B_TILE)
+        n_groups = B_pad // B_TILE
+    kernel_B = B_pad // n_groups
     T_pad = _round_up(T, CHUNK)
 
     cond = pack_conditioning(mels_up, aux, B_pad, T_pad)
@@ -371,15 +383,15 @@ def decode(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(),
+            grid=(n_groups,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, CHUNK, B_pad, SEG), jnp.bfloat16),
-                pltpu.VMEM((2, B_pad, CHUNK), jnp.float32),
-                pltpu.VMEM((B_pad, 1), jnp.float32),
-                pltpu.VMEM((B_pad, H), jnp.float32),
-                pltpu.VMEM((B_pad, H), jnp.float32),
+                pltpu.VMEM((2, CHUNK, kernel_B, SEG), jnp.bfloat16),
+                pltpu.VMEM((2, kernel_B, CHUNK), jnp.float32),
+                pltpu.VMEM((kernel_B, 1), jnp.float32),
+                pltpu.VMEM((kernel_B, H), jnp.float32),
+                pltpu.VMEM((kernel_B, H), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
