@@ -38,8 +38,8 @@ def main():
     )
     gen = Generator(cfg, variables, backend=backend, fold_bucket=16)
 
-    # ~48 s utterance -> ~88 folds of 11k samples: a production-shaped batch
-    T_mel = int(os.environ.get("BENCH_T_MEL", "3840"))
+    # ~24 s utterance -> ~46 folds of 11k samples: a production-shaped batch
+    T_mel = int(os.environ.get("BENCH_T_MEL", "1920"))
     target, overlap = 11_000, 550
     mel = np.random.default_rng(0).uniform(0, 1, (cfg.feat_dims, T_mel))
     mel = mel.astype(np.float32)

@@ -179,6 +179,25 @@ class Generator:
         )
         self.weights = extract_decode_weights(variables["params"])
 
+        @partial(jax.jit, static_argnames=("mu_law", "batched", "overlap",
+                                           "n_classes"))
+        def finalize(samples, num_folds, *, mu_law: bool, batched: bool,
+                     overlap: int, n_classes: int):
+            """On-device post-processing: mu-law expand + masked crossfade
+            unfold.  Garbage bucket-padding folds are zeroed via the
+            num_folds mask so the output shape stays bucket-static."""
+            y = samples.astype(jnp.float32)
+            if mu_law:
+                mu = n_classes - 1
+                y = jnp.sign(y) / mu * ((1 + mu) ** jnp.abs(y) - 1)
+            if batched:
+                mask = (jnp.arange(y.shape[0]) < num_folds)[:, None]
+                y = y * mask
+                return fold_ops.xfade_and_unfold(y, overlap)
+            return y[0]
+
+        self._finalize = finalize
+
     # -- public API ----------------------------------------------------------
 
     def __call__(
@@ -228,19 +247,14 @@ class Generator:
 
         key = jax.random.PRNGKey(seed)
         samples = self._decode(mels_f, aux_f, key)
-        samples = np.asarray(samples, dtype=np.float64)[:num_folds]
-
-        if mu_law:
-            from wavernn_tpu.dsp import audio
-
-            samples = audio.decode_mu_law(samples, c.n_classes, False)
-
-        if batched:
-            output = np.asarray(
-                fold_ops.xfade_and_unfold(jnp.asarray(samples), overlap)
-            ).astype(np.float64)
-        else:
-            output = samples[0]
+        output = np.asarray(
+            self._finalize(
+                samples, jnp.asarray(num_folds, jnp.int32),
+                mu_law=mu_law, batched=batched, overlap=overlap,
+                n_classes=c.n_classes,
+            ),
+            dtype=np.float64,
+        )
 
         # linear tail fade to avoid an abrupt cut (ref: fatchord_version.py:255-258)
         output = output[:wave_len]
