@@ -43,6 +43,9 @@ def main():
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from wavernn_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     paths = Paths(hp.data_path, hp.voc_model_id, hp.tts_model_id)
     devices = jax.devices()
     print("Using devices:", devices)

@@ -33,6 +33,14 @@ from wavernn_tpu.ops.rnn import BiGRU, _uniform_init, gru_cell_step, lstm_cell_s
 MAX_R = 20  # ref: models/tacotron.py:211
 
 
+def getattr_safe(obj, name, default):
+    """hp-style attribute access with a default (hp raises on missing)."""
+    try:
+        return getattr(obj, name)
+    except AttributeError:
+        return default
+
+
 @dataclass(frozen=True)
 class TacotronConfig:
     embed_dims: int = 256
@@ -48,6 +56,7 @@ class TacotronConfig:
     num_highways: int = 4
     dropout: float = 0.5
     stop_threshold: float = -3.4
+    attn_mode: str = "lsa"  # 'lsa' (location-sensitive, default) | 'additive'
 
     @classmethod
     def from_hp(cls, hp, num_chars: int) -> "TacotronConfig":
@@ -56,6 +65,7 @@ class TacotronConfig:
             num_chars=num_chars,
             encoder_dims=hp.tts_encoder_dims,
             decoder_dims=hp.tts_decoder_dims,
+            attn_mode=getattr_safe(hp, "tts_attn_mode", "lsa"),
             n_mels=hp.num_mels,
             fft_bins=hp.num_mels,
             postnet_dims=hp.tts_postnet_dims,
@@ -199,6 +209,22 @@ class Encoder(nn.Module):
                     c.num_highways, name="cbhg")(e, train)
 
 
+class AdditiveAttention(nn.Module):
+    """Plain Bahdanau-style additive attention with softmax scores
+    (ref Attention, tacotron.py:152-168 — the reference's non-location-
+    sensitive alternative, selectable via TacotronConfig.attn_mode)."""
+
+    attn_dim: int
+
+    @nn.compact
+    def __call__(self, encoder_seq_proj, query, cumulative, attention_prev):
+        processed_query = Dense(self.attn_dim, use_bias=False, name="W")(query)[:, None]
+        u = Dense(1, use_bias=False, name="v")(
+            jnp.tanh(encoder_seq_proj + processed_query)
+        )[..., 0]
+        return jax.nn.softmax(u, axis=1)
+
+
 class LSA(nn.Module):
     """Location-sensitive attention with sigmoid-normalized ('smooth') scores
     (ref: tacotron.py:171-205).  Stateless: cumulative/previous attention
@@ -286,7 +312,8 @@ class DecoderCell(nn.Module):
         attn_in = jnp.concatenate([context, prenet_out], axis=-1)
         attn_h = _RawGRUCell(c.decoder_dims, name="attn_rnn")(attn_in, attn_h)
 
-        scores = LSA(c.decoder_dims, name="attn_net")(
+        attn_cls = LSA if c.attn_mode == "lsa" else AdditiveAttention
+        scores = attn_cls(c.decoder_dims, name="attn_net")(
             encoder_seq_proj, attn_h, cumulative, attn_prev
         )
         attn_prev = scores
