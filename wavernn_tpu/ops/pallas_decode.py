@@ -41,7 +41,8 @@ LANE = 128
 SUBLANE_BF16 = 16
 CHUNK = 128   # decode steps per conditioning DMA chunk
 SEG = 2 * LANE  # packed conditioning width per step
-B_TILE = 32   # folds decoded per grid program (bounds VMEM scratch)
+B_TILE = 64   # folds decoded per grid program (bounds VMEM scratch;
+              # 64 measured 1.5x faster than 32 on v5e — more MXU rows)
 
 
 def _round_up(x: int, m: int) -> int:
