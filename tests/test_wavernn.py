@@ -92,6 +92,26 @@ def test_generate_end_to_end(mode, batched):
     assert abs(wav[-1]) < 1e-6
 
 
+def test_generate_batch_multiple_utterances():
+    """Multi-utterance serving path: folds of several utterances packed into
+    one decode batch, unfolded per utterance."""
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    rng = np.random.default_rng(0)
+    mels = [
+        rng.uniform(0, 1, (cfg.feat_dims, t)).astype(np.float32)
+        for t in (25, 40)
+    ]
+    gen = Generator(cfg, variables, backend="scan", frame_bucket=16)
+    wavs = gen.generate_batch(mels, target=2750, overlap=550, mu_law=True)
+    assert len(wavs) == 2
+    for wav, mel in zip(wavs, mels):
+        assert wav.shape == ((mel.shape[1] - 1) * cfg.hop_length,)
+        assert np.isfinite(wav).all()
+
+
 def test_generate_deterministic_given_seed():
     from wavernn_tpu.ops.decode import Generator
 

@@ -263,6 +263,72 @@ class Generator:
             output[-fade_len:] *= np.linspace(1, 0, fade_len)
         return output
 
+    def generate_batch(self, mels_list, target: int, overlap: int,
+                       mu_law: bool, seed: int = 0):
+        """Serve MULTIPLE utterances in one decode: every utterance's folds
+        are packed into a single kernel batch (one weights-resident pass),
+        then unfolded per utterance.  Beyond the reference's one-utterance
+        generate — this is the production batching path.
+
+        Returns a list of float64 waveforms.
+        """
+        c = self.cfg
+        mu_law = mu_law if c.mode == "RAW" else False
+
+        packed_m, packed_a = [], []
+        metas = []  # (num_folds, wave_len)
+        for mels in mels_list:
+            mels = np.asarray(mels, dtype=np.float32)
+            if mels.ndim == 2:
+                mels = mels[None]
+            mels = np.transpose(mels, (0, 2, 1))
+            wave_len = (mels.shape[1] - 1) * c.hop_length
+
+            t_real = mels.shape[1] + 2 * c.pad
+            t_bucket = _round_up(t_real, self.frame_bucket)
+            mels = np.pad(
+                mels, ((0, 0), (c.pad, t_bucket - mels.shape[1] - c.pad), (0, 0))
+            )
+            mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
+            real_len = (t_bucket - 2 * c.pad) * c.hop_length
+            num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
+            packed_m.append(fold_ops.fold_with_overlap(mels_up, target, overlap))
+            packed_a.append(fold_ops.fold_with_overlap(aux, target, overlap))
+            metas.append((num_folds, wave_len))
+
+        mels_f = jnp.concatenate(packed_m, axis=0)
+        aux_f = jnp.concatenate(packed_a, axis=0)
+        total = mels_f.shape[0]
+        pad_folds = _round_up(total, self.fold_bucket) - total
+        if pad_folds:
+            mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
+            aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
+
+        samples = self._decode(mels_f, aux_f, jax.random.PRNGKey(seed))
+
+        outputs = []
+        offset = 0
+        for num_folds, wave_len in metas:
+            # bucket-pad the slice so _finalize compiles per bucket, not per
+            # utterance fold count
+            n_bucket = _round_up(num_folds, self.fold_bucket)
+            piece = jax.lax.dynamic_slice_in_dim(samples, offset, num_folds, 0)
+            piece = jnp.pad(piece, ((0, n_bucket - num_folds), (0, 0)))
+            offset += num_folds
+            out = np.asarray(
+                self._finalize(
+                    piece, jnp.asarray(num_folds, jnp.int32),
+                    mu_law=mu_law, batched=True, overlap=overlap,
+                    n_classes=c.n_classes,
+                ),
+                dtype=np.float64,
+            )[:wave_len]
+            fade_len = min(20 * c.hop_length, len(out))
+            if fade_len:
+                out[-fade_len:] *= np.linspace(1, 0, fade_len)
+            outputs.append(out)
+        return outputs
+
     # -- internals -------------------------------------------------------------
 
     def _decode(self, mels_f, aux_f, key):
