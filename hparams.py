@@ -89,5 +89,3 @@ tts_checkpoint_every = 2_000
 
 mesh_shape = None                        # e.g. {"data": 4, "model": 2}; None = all-data
 gen_use_pallas = True                    # fused Pallas decode kernel when on TPU
-train_dtype = "float32"                  # parameter dtype
-compute_dtype = "bfloat16"               # matmul dtype inside model forward

@@ -59,12 +59,23 @@ def main():
     state = new_train_state(variables["params"], variables["batch_stats"], optimizer)
     state = restore_checkpoint("tts", paths, state, create_if_missing=True)
 
+    shard_batch = None
+    if len(devices) > 1:
+        from wavernn_tpu.parallel import make_mesh, shard_batch_fn
+
+        plan = make_mesh(hp.mesh_shape)
+        place = shard_batch_fn(plan)
+
+        def shard_batch(x, m):
+            return place(x, m)
+
     if not args.force_gta:
         def get_datasets(batch_size, r):
             return get_tts_datasets(paths.data, batch_size, r)
 
         state = run_schedule(paths, cfg, state, optimizer, get_datasets,
-                             force_train=args.force_train)
+                             force_train=args.force_train,
+                             shard_batch=shard_batch)
         print("Training Complete.")
         print("To continue training increase the schedule in hparams.py or use --force_train\n")
 

@@ -82,7 +82,7 @@ def main():
 
     shard_batch = None
     if len(devices) > 1:
-        plan = make_mesh()
+        plan = make_mesh(hp.mesh_shape)
         shard_batch = shard_batch_fn(plan)
 
     voc_train_loop(paths, cfg, state, optimizer, train_set, test_set,

@@ -142,6 +142,7 @@ def run_schedule(
     get_datasets: Callable,
     force_train: bool = False,
     train_loop: Callable = None,
+    shard_batch: Optional[Callable] = None,
 ) -> TrainState:
     """Execute the progressive (r, lr, max_step, batch_size) curriculum
     (ref: train_tacotron.py:68-98)."""
@@ -169,9 +170,10 @@ def run_schedule(
         ])
 
         train_set, attn_example = get_datasets(batch_size, r)
+        kwargs = {"shard_batch": shard_batch} if shard_batch is not None else {}
         state = train_loop(
             paths, cfg, state, optimizer, train_set, r, lr,
-            training_steps, attn_example,
+            training_steps, attn_example, **kwargs,
         )
 
     return state
