@@ -81,7 +81,7 @@ def main():
 
     print("Creating Ground Truth Aligned Dataset...\n")
     final_r = hp.tts_schedule[-1][0]
-    train_set, _ = get_tts_datasets(paths.data, 8, final_r)
+    train_set, _ = get_tts_datasets(paths.data, 8, final_r, drop_last=False)
     create_gta_features(cfg, state, train_set, paths.gta, final_r)
     print("\n\nYou can now train WaveRNN on GTA features - use python train_wavernn.py --gta\n")
 

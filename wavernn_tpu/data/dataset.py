@@ -136,8 +136,14 @@ class TTSDataset(Dataset):
         return len(self.metadata)
 
 
-def get_tts_datasets(path: Path, batch_size: int, r: int):
-    """Returns (train_loader, attn_example_id)."""
+def get_tts_datasets(path: Path, batch_size: int, r: int,
+                     drop_last: bool = True):
+    """Returns (train_loader, attn_example_id).
+
+    ``drop_last=True`` keeps training batch shapes static (one compiled
+    program per session); the GTA export pass uses ``drop_last=False`` so
+    every utterance is covered (partial batches recompile once, harmless for
+    a one-shot export)."""
     with open(path / "dataset.pkl", "rb") as f:
         dataset = pickle.load(f)
 
@@ -163,7 +169,7 @@ def get_tts_datasets(path: Path, batch_size: int, r: int):
         sampler=sampler,
         shuffle=sampler is None,
         num_workers=1,
-        drop_last=True,
+        drop_last=drop_last,
     )
 
     longest = mel_lengths.index(max(mel_lengths))
