@@ -18,7 +18,7 @@ Differences by design (TPU-first):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence, Tuple
 
 import flax.linen as nn

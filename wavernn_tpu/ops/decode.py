@@ -15,10 +15,8 @@ implementation and the fallback on CPU.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

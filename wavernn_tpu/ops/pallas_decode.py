@@ -27,7 +27,6 @@ f32.  Batch (fold) dimension is padded to the bf16 sublane tile (16).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -141,6 +141,3 @@ def voc_train_loop(
 
     return state
 
-
-def create_gta_features_for_vocoder():  # pragma: no cover - placeholder
-    raise NotImplementedError("GTA features are exported by the Tacotron trainer")
