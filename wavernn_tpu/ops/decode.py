@@ -196,6 +196,34 @@ class Generator:
 
         self._finalize = finalize
 
+        @partial(jax.jit, static_argnames=("mu_law", "batched", "target",
+                                           "overlap", "num_folds_padded"))
+        def full_pipeline(variables, mels_padded, num_folds, key, *,
+                          mu_law: bool, batched: bool, target: int,
+                          overlap: int, num_folds_padded: int):
+            """The whole mel→waveform graph as ONE program: upsample convs,
+            fold gather, AR decode, mu-law expand, crossfade unfold.  A single
+            dispatch per utterance — no intermediate host round-trips."""
+            mels_up, aux = self.model.apply(
+                variables, mels_padded, False, method=WaveRNN.upsample_only
+            )
+            if batched:
+                mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
+                aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
+                pad_folds = num_folds_padded - mels_f.shape[0]
+                if pad_folds:
+                    mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
+                    aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
+            else:
+                mels_f, aux_f = mels_up, aux
+            samples = self._decode(mels_f, aux_f, key)
+            return finalize(
+                samples, num_folds, mu_law=mu_law, batched=batched,
+                overlap=overlap, n_classes=cfg.n_classes,
+            )
+
+        self._full_pipeline = full_pipeline
+
     # -- public API ----------------------------------------------------------
 
     def __call__(
@@ -228,28 +256,18 @@ class Generator:
         post = t_bucket - mels.shape[1] - c.pad
         mels = np.pad(mels, ((0, 0), (pre, post), (0, 0)))
 
-        mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
-
         if batched:
             real_len = (t_bucket - 2 * c.pad) * c.hop_length
             num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
-            mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
-            aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
-            pad_folds = _round_up(num_folds, self.fold_bucket) - num_folds
-            if pad_folds:
-                mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
-                aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
         else:
-            mels_f, aux_f = mels_up, aux
             num_folds = 1
 
-        key = jax.random.PRNGKey(seed)
-        samples = self._decode(mels_f, aux_f, key)
         output = np.asarray(
-            self._finalize(
-                samples, jnp.asarray(num_folds, jnp.int32),
-                mu_law=mu_law, batched=batched, overlap=overlap,
-                n_classes=c.n_classes,
+            self._full_pipeline(
+                self.variables, jnp.asarray(mels),
+                jnp.asarray(num_folds, jnp.int32), jax.random.PRNGKey(seed),
+                mu_law=mu_law, batched=batched, target=target, overlap=overlap,
+                num_folds_padded=_round_up(num_folds, self.fold_bucket),
             ),
             dtype=np.float64,
         )

@@ -79,28 +79,43 @@ def tts_train_loop(
     train_step = make_tts_train_step(model, optimizer, r)
 
     total_iters = len(train_set)
+    host_step = state.get_step()
     epochs = max(1, train_steps // max(total_iters, 1) + 1)
-    rng = jax.random.PRNGKey(seed + state.get_step())
+    rng = jax.random.PRNGKey(seed + host_step)
     msg = ""
     steps_done = 0
+    # see voc_train_loop: scalar fetches are throttled to keep the device
+    # dispatch pipeline full; NaN detection lags at most display_every steps
+    display_every = max(1, min(10, hp.tts_checkpoint_every))
 
     for e in range(1, epochs + 1):
         start = time.time()
         running_loss = 0.0
+        n_fetched = 0
 
         for i, (x, m, ids, _) in enumerate(train_set, 1):
             if shard_batch is not None:
                 x, m = shard_batch(x, m)
             rng, sub = jax.random.split(rng)
             state, loss, grad_norm, attn, m2_hat = train_step(state, x, m, sub)
-
-            if np.isnan(float(grad_norm)):
-                print("grad_norm was NaN!")
-            running_loss += float(loss)
-            avg_loss = running_loss / i
-            speed = i / (time.time() - start)
-            step = state.get_step()
+            host_step += 1
+            steps_done += 1
+            step = host_step
             k = step // 1000
+
+            if i % display_every == 0 or step % hp.tts_checkpoint_every == 0 \
+                    or steps_done >= train_steps:
+                if np.isnan(float(grad_norm)):
+                    print("grad_norm was NaN!")
+                running_loss += float(loss)
+                n_fetched += 1
+                avg_loss = running_loss / n_fetched
+                speed = i / (time.time() - start)
+                msg = (
+                    f"| Epoch: {e}/{epochs} ({i}/{total_iters}) | "
+                    f"Loss: {avg_loss:#.4} | {speed:#.2} steps/s | Step: {k}k | "
+                )
+                stream(msg)
 
             if step % hp.tts_checkpoint_every == 0:
                 save_checkpoint("tts", paths, state,
@@ -115,13 +130,6 @@ def tts_train_loop(
                     np.asarray(m2_hat)[idx].T, paths.tts_mel_plot / f"{step}", 600
                 )
 
-            msg = (
-                f"| Epoch: {e}/{epochs} ({i}/{total_iters}) | "
-                f"Loss: {avg_loss:#.4} | {speed:#.2} steps/s | Step: {k}k | "
-            )
-            stream(msg)
-
-            steps_done += 1
             if steps_done >= train_steps:
                 break
 

@@ -93,28 +93,42 @@ def voc_train_loop(
     train_step = make_train_step(model, optimizer, cfg.mode)
 
     total_iters = len(train_set)
-    epochs = max(0, (total_steps - state.get_step()) // max(total_iters, 1) + 1)
+    host_step = state.get_step()
+    epochs = max(0, (total_steps - host_step) // max(total_iters, 1) + 1)
     msg = ""
+    # Fetch loss/grad scalars only every few steps: each fetch syncs the
+    # device, so per-step fetching would serialize the async dispatch
+    # pipeline.  NaN detection therefore lags by at most display_every steps.
+    display_every = max(1, min(10, hp.voc_checkpoint_every))
 
     for e in range(1, epochs + 1):
         start = time.time()
         running_loss = 0.0
+        n_fetched = 0
 
         for i, (x, y, mels) in enumerate(train_set, 1):
             if shard_batch is not None:
                 x, y, mels = shard_batch(x, y, mels)
             state, loss, grad_norm = train_step(state, x, y, mels)
-
-            loss_f = float(loss)
-            if np.isnan(float(grad_norm)):
-                print("grad_norm was NaN!")
-            running_loss += loss_f
-            avg_loss = running_loss / i
-            speed = i / (time.time() - start)
-            step = state.get_step()
+            host_step += 1
+            step = host_step
             k = step // 1000
 
-            if step % hp.voc_checkpoint_every == 0:
+            at_checkpoint = step % hp.voc_checkpoint_every == 0
+            if i % display_every == 0 or at_checkpoint or step >= total_steps:
+                running_loss += float(loss)
+                n_fetched += 1
+                if np.isnan(float(grad_norm)):
+                    print("grad_norm was NaN!")
+                avg_loss = running_loss / n_fetched
+                speed = i / (time.time() - start)
+                msg = (
+                    f"| Epoch: {e}/{epochs} ({i}/{total_iters}) | "
+                    f"Loss: {avg_loss:.4f} | {speed:.1f} steps/s | Step: {k}k | "
+                )
+                stream(msg)
+
+            if at_checkpoint:
                 if gen_at_checkpoint:
                     gen_testset(
                         cfg, state, test_set, hp.voc_gen_at_checkpoint,
@@ -124,19 +138,13 @@ def voc_train_loop(
                 save_checkpoint("voc", paths, state,
                                 name=f"wave_step{k}K", is_silent=True)
 
-            msg = (
-                f"| Epoch: {e}/{epochs} ({i}/{total_iters}) | "
-                f"Loss: {avg_loss:.4f} | {speed:.1f} steps/s | Step: {k}k | "
-            )
-            stream(msg)
-
             if step >= total_steps:
                 break
 
         save_checkpoint("voc", paths, state, is_silent=True)
         append_log(paths.voc_log, msg)
         print(" ")
-        if state.get_step() >= total_steps:
+        if host_step >= total_steps:
             break
 
     return state
