@@ -68,7 +68,8 @@ def test_pack_weights_shapes():
     assert packed["w_x"].shape == (1, H)
     assert packed["w_Im"].shape == (LANE, H)
     assert packed["w_ih1"].shape == (H, 3 * H)
-    assert packed["w2a"].shape == (LANE, 3 * H)
+    # fused aux projection: [gru2 (3H) | fc1 (F) | fc2 (F)]
+    assert packed["w_aux"].shape == (LANE, 3 * H + 2 * cfg.fc_dims)
     assert packed["w_fc3"].shape == (cfg.fc_dims, 512)
     # padded logits blocked by -1e30 bias (MOL: 30 → 128 lanes)
     mol = pack_weights(
@@ -83,8 +84,9 @@ def test_pack_weights_shapes():
     assert mol["w_fc3"].shape[1] == 128
     assert float(mol["b_fc3"][0, -1]) < -1e29
     assert float(mol["b_fc3"][0, 29]) > -1e29
-    # aux row placement: a3 rows at offset aux_d in w1a
-    w1a = np.asarray(packed["w1a"], np.float32)
+    # aux row placement in the fused matrix: fc1 (a3) block sits at column
+    # offset 3H with its rows shifted by aux_d
+    w1a = np.asarray(packed["w_aux"], np.float32)[:, 3 * H: 3 * H + cfg.fc_dims]
     assert (w1a[: cfg.aux_dims] == 0).all()
     np.testing.assert_allclose(
         w1a[cfg.aux_dims: 2 * cfg.aux_dims],

@@ -1,0 +1,102 @@
+"""Decode-kernel cost breakdown: time stripped-down variants of the per-step
+work to see where the microseconds go (matmuls vs conditioning DMA/indexing
+vs sampling).  Dev tool; run on TPU:
+
+  python tools/kernel_breakdown.py [B] [T]
+"""
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H = 512
+F = 512
+CHUNK = 128
+SEG = 256
+
+
+def matmul_only_kernel(w1, w2, w3, w4, wf1, wf2, out, h_ref, *, T):
+    """Per step: the four big (·,1536) dots + two (·,512) dots, nothing else."""
+    h_ref[...] = jnp.zeros_like(h_ref)
+
+    def step(i, _):
+        h = h_ref[...]
+        hb = h.astype(jnp.bfloat16)
+        g1 = jnp.dot(hb, w1[...], preferred_element_type=jnp.float32)
+        g2 = jnp.dot(hb, w2[...], preferred_element_type=jnp.float32)
+        g3 = jnp.dot(hb, w3[...], preferred_element_type=jnp.float32)
+        g4 = jnp.dot(hb, w4[...], preferred_element_type=jnp.float32)
+        f1 = jnp.dot(hb, wf1[...], preferred_element_type=jnp.float32)
+        f2 = jnp.dot(hb, wf2[...], preferred_element_type=jnp.float32)
+        h_ref[...] = jnp.tanh(
+            g1[:, :H] + g2[:, H:2 * H] + g3[:, 2 * H:] + g4[:, :H]
+            + f1 + f2
+        )
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+    out[...] = h_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("B", "T"))
+def run_matmul_only(B: int, T: int):
+    key = jax.random.PRNGKey(0)
+    mk = lambda *s: jax.random.normal(key, s, jnp.bfloat16) * 0.05
+    w1, w2, w3, w4 = (mk(H, 3 * H) for _ in range(4))
+    wf1, wf2 = mk(H, F), mk(F, F)
+    return pl.pallas_call(
+        functools.partial(matmul_only_kernel, T=T),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(w1, w2, w3, w4, wf1, wf2)
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 12160
+
+    # 1. matmul-only floor
+    out = run_matmul_only(B, T)
+    np.asarray(out)
+    t0 = time.time()
+    np.asarray(run_matmul_only(B, T))
+    dt = time.time() - t0
+    print(f"matmul-only floor: {dt:.3f}s = {dt / T * 1e6:.2f} us/step")
+
+    # 2. full production kernel
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.ops import pallas_decode
+    from wavernn_tpu.ops.decode import extract_decode_weights
+
+    cfg = WaveRNNConfig()
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                   jnp.zeros((1, 5, 80)), True)
+    w = extract_decode_weights(v["params"])
+    rng = np.random.default_rng(0)
+    mf = jnp.asarray(rng.uniform(0, 1, (B, T, 80)), jnp.float32)
+    af = jnp.asarray(rng.uniform(0, 1, (B, T, 128)), jnp.float32)
+    np.asarray(pallas_decode.decode(w, mf, af, jax.random.PRNGKey(0),
+                                    mode="MOL", n_classes=30))
+    t0 = time.time()
+    np.asarray(pallas_decode.decode(w, mf, af, jax.random.PRNGKey(1),
+                                    mode="MOL", n_classes=30))
+    dt_full = time.time() - t0
+    print(f"full kernel:       {dt_full:.3f}s = {dt_full / T * 1e6:.2f} us/step")
+    print(f"non-matmul share:  {(dt_full - dt) / dt_full * 100:.0f}%")
+
+
+if __name__ == "__main__":
+    main()

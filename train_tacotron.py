@@ -24,6 +24,8 @@ def main():
                         help="force the model to create GTA features")
     parser.add_argument("--force_cpu", "-c", action="store_true",
                         help="force CPU-only training")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="capture a jax.profiler trace to DIR")
     parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",
                         help="the file to use for the hyperparameters")
     args = parser.parse_args()
@@ -73,9 +75,12 @@ def main():
         def get_datasets(batch_size, r):
             return get_tts_datasets(paths.data, batch_size, r)
 
-        state = run_schedule(paths, cfg, state, optimizer, get_datasets,
-                             force_train=args.force_train,
-                             shard_batch=shard_batch)
+        from wavernn_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            state = run_schedule(paths, cfg, state, optimizer, get_datasets,
+                                 force_train=args.force_train,
+                                 shard_batch=shard_batch)
         print("Training Complete.")
         print("To continue training increase the schedule in hparams.py or use --force_train\n")
 

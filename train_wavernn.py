@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--gta", "-g", action="store_true", help="train on GTA features")
     parser.add_argument("--force_cpu", "-c", action="store_true",
                         help="force CPU-only training")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="capture a jax.profiler trace of the first steps to DIR")
     parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",
                         help="the file to use for the hyperparameters")
     args = parser.parse_args()
@@ -85,8 +87,11 @@ def main():
         plan = make_mesh(hp.mesh_shape)
         shard_batch = shard_batch_fn(plan)
 
-    voc_train_loop(paths, cfg, state, optimizer, train_set, test_set,
-                   total_steps, shard_batch=shard_batch)
+    from wavernn_tpu.utils.profiling import trace
+
+    with trace(args.profile):
+        voc_train_loop(paths, cfg, state, optimizer, train_set, test_set,
+                       total_steps, shard_batch=shard_batch)
 
     print("Training Complete.")
     print("To continue training increase voc_total_steps in hparams.py or use --force_train")

@@ -76,9 +76,10 @@ def _decode_kernel(
     w_x,                  # (1, H) f32 — x row of the I matrix
     w_Im, b_I,            # (LANE, H) bf16 ; (1, H) f32
     w_ih1, w_hh1, b1, b_hh1_n,   # (H,3H) bf16 ×2 ; (1,3H) f32 ; (1,H) f32
-    w_ih2x, w2a, w_hh2, b2, b_hh2_n,
-    w_fc1x, w1a, b_fc1,   # (H,F), (LANE,F) bf16 ; (1,F) f32
-    w_fc2x, w2a_fc, b_fc2,
+    w_ih2x, w_hh2, b2, b_hh2_n,
+    w_fc1x, b_fc1,        # (H,F) bf16 ; (1,F) f32
+    w_fc2x, b_fc2,
+    w_aux,                # (LANE, 3H+2F) bf16 — fused [a2->gru2 | a3->fc1 | a4->fc2]
     w_fc3, b_fc3,         # (F, n_out_pad) bf16 ; (1, n_out_pad) f32
     # outputs
     out_hbm,              # (B, T) f32 in HBM — time on the lane axis
@@ -151,6 +152,9 @@ def _decode_kernel(
         def _():
             out_dma(slot, chunk - 2).wait()
 
+        H3 = 3 * H
+        F = w_fc1x.shape[1]
+
         def step_body(i, _):
             cond = cond_vmem[slot, i]          # (B, SEG) bf16
             seg0 = cond[:, :LANE]              # [mel | a1 | 0]
@@ -159,6 +163,10 @@ def _decode_kernel(
             x = x_ref[...]                     # (B, 1) f32
             h1 = h1_ref[...]
             h2 = h2_ref[...]
+
+            # All aux-segment projections in ONE dot (w_aux columns =
+            # [gru2-a2 | fc1-a3 | fc2-a4]): fewer MXU launches per step.
+            aux_all = jnp.dot(seg1, w_aux[...], preferred_element_type=jnp.float32)
 
             # I projection: x*w_x (outer product) + [m,a1] @ w_Im + b_I
             xi = (
@@ -174,7 +182,7 @@ def _decode_kernel(
 
             gi2 = (
                 jnp.dot(bf(xr), w_ih2x[...], preferred_element_type=jnp.float32)
-                + jnp.dot(seg1, w2a[...], preferred_element_type=jnp.float32)
+                + aux_all[:, :H3]
             )
             gh2 = jnp.dot(bf(h2), w_hh2[...], preferred_element_type=jnp.float32)
             h2 = gru_gates(gi2, gh2, h2, b2, b_hh2_n)
@@ -182,12 +190,12 @@ def _decode_kernel(
 
             f1 = jax.nn.relu(
                 jnp.dot(bf(xr), w_fc1x[...], preferred_element_type=jnp.float32)
-                + jnp.dot(seg1, w1a[...], preferred_element_type=jnp.float32)
+                + aux_all[:, H3: H3 + F]
                 + b_fc1[...]
             )
             f2 = jax.nn.relu(
                 jnp.dot(bf(f1), w_fc2x[...], preferred_element_type=jnp.float32)
-                + jnp.dot(seg1, w2a_fc[...], preferred_element_type=jnp.float32)
+                + aux_all[:, H3 + F:]
                 + b_fc2[...]
             )
             logits = (
@@ -312,14 +320,18 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
         w_ih1=bf(w.gru1_w_ih), w_hh1=bf(w.gru1_w_hh),
         b1=b1, b_hh1_n=b_hh1_n,
         w_ih2x=bf(w.gru2_w_ih[:H]),
-        w2a=bf(pad_rows(w.gru2_w_ih[H:], 0, LANE)),            # a2 rows at 0
         w_hh2=bf(w.gru2_w_hh), b2=b2, b_hh2_n=b_hh2_n,
         w_fc1x=bf(w.fc1_w[:H]),
-        w1a=bf(pad_rows(w.fc1_w[H:], aux_d, LANE)),            # a3 rows at aux_d
         b_fc1=f32(w.fc1_b)[None],
         w_fc2x=bf(w.fc2_w[:F]),
-        w2a_fc=bf(pad_rows(w.fc2_w[F:], 2 * aux_d, LANE)),     # a4 rows at 2*aux_d
         b_fc2=f32(w.fc2_b)[None],
+        # fused aux projection: seg1 = [a2|a3|a4|0] rows; columns are
+        # [gru2 gates (3H) | fc1 (F) | fc2 (F)]
+        w_aux=bf(jnp.concatenate([
+            pad_rows(w.gru2_w_ih[H:], 0, LANE),            # a2 rows at 0
+            pad_rows(w.fc1_w[H:], aux_d, LANE),            # a3 rows at aux_d
+            pad_rows(w.fc2_w[F:], 2 * aux_d, LANE),        # a4 rows at 2*aux_d
+        ], axis=1)),
         w_fc3=w_fc3, b_fc3=b_fc3,
     )
 
@@ -327,9 +339,10 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
 _WEIGHT_ORDER = [
     "w_x", "w_Im", "b_I",
     "w_ih1", "w_hh1", "b1", "b_hh1_n",
-    "w_ih2x", "w2a", "w_hh2", "b2", "b_hh2_n",
-    "w_fc1x", "w1a", "b_fc1",
-    "w_fc2x", "w2a_fc", "b_fc2",
+    "w_ih2x", "w_hh2", "b2", "b_hh2_n",
+    "w_fc1x", "b_fc1",
+    "w_fc2x", "b_fc2",
+    "w_aux",
     "w_fc3", "b_fc3",
 ]
 
