@@ -93,6 +93,22 @@ def test_generation_runs_and_trims():
     assert attn.shape[1] == 11
 
 
+def test_generation_batch_multiple_texts():
+    from wavernn_tpu.infer.tacotron import TTSGenerator
+
+    cfg = tiny_cfg()
+    model, variables = init_model(cfg)
+    gen = TTSGenerator(cfg, variables, steps=40, text_bucket=8)
+    rng = np.random.default_rng(1)
+    seqs = [list(rng.integers(1, 140, n)) for n in (7, 12)]
+    outs = gen.batch(seqs, r=5)
+    assert len(outs) == 2
+    for (mel, linear, attn), s in zip(outs, seqs):
+        assert mel.shape[0] == cfg.n_mels
+        assert mel.shape[1] % 5 == 0 and 0 < mel.shape[1] <= 40
+        assert attn.shape[1] == len(s)
+
+
 def test_decode_step_matches_scan():
     """The scanned teacher-forced decoder and repeated decode_step calls must
     produce identical outputs given the same inputs (eval mode)."""

@@ -87,3 +87,28 @@ class TTSGenerator:
         linear = np.asarray(linear)[0, :n].T     # (fft_bins, T)
         attn = np.asarray(attn)[0, : int(n_valid[0])]  # (T/r, L)
         return mel, linear, attn
+
+    def batch(self, seqs, r: int):
+        """Generate MULTIPLE utterances in one decode batch (beyond the
+        reference's one-at-a-time generate).  Text is zero-padded to the
+        bucketed max length — consistent with training, which attends over
+        padded batches the same way (ref: utils/dataset.py:166-190).
+
+        Returns a list of (mel, linear, attn) triples, each trimmed at its
+        own stop frame."""
+        L = max(len(s) for s in seqs)
+        L = ((L + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
+        x = np.zeros((len(seqs), L), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            x[i, : len(s)] = s
+        mel, linear, attn, n_valid = self._run(self.variables, jnp.asarray(x), r)
+        mel, linear, attn = np.asarray(mel), np.asarray(linear), np.asarray(attn)
+        out = []
+        for i, s in enumerate(seqs):
+            n = int(n_valid[i]) * r
+            out.append((
+                mel[i, :n].T,
+                linear[i, :n].T,
+                attn[i, : int(n_valid[i]), : len(s)],
+            ))
+        return out
