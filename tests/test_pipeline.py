@@ -1,0 +1,42 @@
+"""Unified TTS pipeline test: text strings → waveforms, both stages batched."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_tts_pipeline_end_to_end():
+    from wavernn_tpu.infer.pipeline import TTSPipeline
+    from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.text.symbols import symbols
+
+    tts_cfg = TacotronConfig(
+        embed_dims=16, num_chars=len(symbols), encoder_dims=16,
+        decoder_dims=32, n_mels=80, fft_bins=80, postnet_dims=16,
+        encoder_K=3, lstm_dims=32, postnet_K=3, num_highways=2,
+    )
+    tts = Tacotron(tts_cfg)
+    tts_vars = tts.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 10, 80)), 5, True,
+    )
+
+    voc_cfg = WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=9, pad=2, upsample_factors=(5, 5, 11),
+        feat_dims=80, compute_dims=16, res_out_dims=16, res_blocks=1,
+        mode="RAW",
+    )
+    voc = WaveRNN(voc_cfg)
+    voc_vars = voc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 275)), jnp.zeros((1, 5, 80)), True
+    )
+
+    pipe = TTSPipeline(tts_cfg, tts_vars, voc_cfg, voc_vars,
+                       cleaner_names=["english_cleaners"], r=5,
+                       backend="scan", tts_steps=20)
+    wavs = pipe(["hello world", "hi"], target=2750, overlap=550)
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and len(w) > 0
+        assert np.isfinite(w).all()

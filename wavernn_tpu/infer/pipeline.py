@@ -1,0 +1,54 @@
+"""Unified text→speech serving pipeline.
+
+Composes the batched Tacotron generator and the fold-packed WaveRNN decoder
+into one call: N texts in, N waveforms out, with both stages batching across
+utterances (the reference synthesizes strictly one utterance at a time,
+ref: gen_tacotron.py:281-308).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from wavernn_tpu.infer.tacotron import TTSGenerator
+from wavernn_tpu.models.tacotron import TacotronConfig
+from wavernn_tpu.models.wavernn import WaveRNNConfig
+from wavernn_tpu.ops.decode import Generator
+from wavernn_tpu.text import text_to_sequence
+
+
+class TTSPipeline:
+    """End-to-end synthesis: text strings → waveforms.
+
+    Args:
+      tts_cfg / tts_variables: Tacotron config + params.
+      voc_cfg / voc_variables: WaveRNN config + params.
+      cleaner_names: text-normalization pipelines.
+      r: frames per decoder step (use the final curriculum r).
+      backend: WaveRNN decode backend ('pallas' on TPU, 'scan' elsewhere).
+    """
+
+    def __init__(self, tts_cfg: TacotronConfig, tts_variables,
+                 voc_cfg: WaveRNNConfig, voc_variables,
+                 cleaner_names: Sequence[str], r: int,
+                 backend: str = "scan", tts_steps: int = 2000):
+        self.r = r
+        self.cleaners = list(cleaner_names)
+        self.tts = TTSGenerator(tts_cfg, tts_variables, steps=tts_steps)
+        self.voc = Generator(voc_cfg, voc_variables, backend=backend,
+                             fold_bucket=16)
+
+    def __call__(self, texts: Sequence[str], target: int = 11_000,
+                 overlap: int = 550, mu_law: bool = True,
+                 seed: int = 0) -> List[np.ndarray]:
+        """Synthesize every text; returns float64 waveforms."""
+        seqs = [text_to_sequence(t.strip(), self.cleaners) for t in texts]
+        mels = []
+        for _, m_linear, _ in self.tts.batch(seqs, r=self.r):
+            # rescale decoder output [-4,4] → normalized mel [0,1]
+            mels.append(np.clip((m_linear + 4) / 8, 0, 1))
+        return self.voc.generate_batch(
+            mels, target=target, overlap=overlap, mu_law=mu_law, seed=seed
+        )
