@@ -91,7 +91,7 @@ def main():
 
     with trace(args.profile):
         voc_train_loop(paths, cfg, state, optimizer, train_set, test_set,
-                       total_steps, shard_batch=shard_batch)
+                       total_steps, lr=args.lr, shard_batch=shard_batch)
 
     print("Training Complete.")
     print("To continue training increase voc_total_steps in hparams.py or use --force_train")

@@ -70,6 +70,11 @@ class _HParams:
     def is_configured(self) -> bool:
         return object.__getattribute__(self, "_configured")
 
+    def get(self, name: str, default: Any = None) -> Any:
+        """Attribute access with a default (hp raises on missing otherwise)."""
+        store = object.__getattribute__(self, "_store")
+        return store.get(name, default)
+
     def configure(self, path: Union[str, Path], **overrides: Any) -> "_HParams":
         """Copy attributes from the python module at ``path`` onto this
         singleton, then apply keyword ``overrides``.  Raises if already

@@ -28,6 +28,7 @@ def read_wav_raw(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
 
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos:pos + 4]
@@ -35,6 +36,7 @@ def read_wav_raw(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         body = data[pos + 8: pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif chunk_id == b"data":
             raw = body
         pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
@@ -44,8 +46,12 @@ def read_wav_raw(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
 
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format == _WAVE_FORMAT_EXTENSIBLE:
-        # SubFormat GUID starts with the effective format code.
-        audio_format = bits and _WAVE_FORMAT_PCM  # assume PCM subformat
+        # the effective format code is the first word of the SubFormat GUID
+        # (fmt body offset 24: after cbSize, wValidBitsPerSample, dwChannelMask)
+        if len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        else:
+            raise ValueError(f"{path}: truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
     if audio_format == _WAVE_FORMAT_PCM:
         if bits == 8:
             x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0

@@ -30,8 +30,8 @@ class TTSGenerator:
         self.steps = steps
         self.text_bucket = text_bucket
 
-        @partial(jax.jit, static_argnames=("r",))
-        def run(variables, x, r: int):
+        @partial(jax.jit, static_argnames=("r", "steps"))
+        def run(variables, x, r: int, steps: int):
             cfg_ = self.cfg
             model = self.model
             B, L = x.shape
@@ -76,16 +76,29 @@ class TTSGenerator:
 
         self._run = run
 
+    def _bucket_steps(self, steps, r: int) -> int:
+        steps = self.steps if steps is None else steps
+        return ((steps + r - 1) // r) * r
+
     def __call__(self, x, r: int,
                  steps: int = None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """x: 1-D int sequence of symbol ids.
-        Returns (mel (n_mels, T), linear (fft_bins, T), attn (T/r, L))."""
-        x = np.asarray(x, dtype=np.int32)[None]
-        mel, linear, attn, n_valid = self._run(self.variables, jnp.asarray(x), r)
+        Returns (mel (n_mels, T), linear (fft_bins, T), attn (T/r, L)).
+
+        Text is zero-padded up to a length bucket so varying sentence lengths
+        reuse a small set of compiled programs (consistent with training,
+        which attends over padded batches)."""
+        seq_len = len(x)
+        L = ((seq_len + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
+        xp = np.zeros((1, L), dtype=np.int32)
+        xp[0, :seq_len] = np.asarray(x, dtype=np.int32)
+        mel, linear, attn, n_valid = self._run(
+            self.variables, jnp.asarray(xp), r, self._bucket_steps(steps, r)
+        )
         n = int(n_valid[0]) * r
         mel = np.asarray(mel)[0, :n].T           # (n_mels, T)
         linear = np.asarray(linear)[0, :n].T     # (fft_bins, T)
-        attn = np.asarray(attn)[0, : int(n_valid[0])]  # (T/r, L)
+        attn = np.asarray(attn)[0, : int(n_valid[0]), :seq_len]  # (T/r, L)
         return mel, linear, attn
 
     def batch(self, seqs, r: int):
@@ -101,7 +114,9 @@ class TTSGenerator:
         x = np.zeros((len(seqs), L), dtype=np.int32)
         for i, s in enumerate(seqs):
             x[i, : len(s)] = s
-        mel, linear, attn, n_valid = self._run(self.variables, jnp.asarray(x), r)
+        mel, linear, attn, n_valid = self._run(
+            self.variables, jnp.asarray(x), r, self._bucket_steps(None, r)
+        )
         mel, linear, attn = np.asarray(mel), np.asarray(linear), np.asarray(attn)
         out = []
         for i, s in enumerate(seqs):

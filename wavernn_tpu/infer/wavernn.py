@@ -19,21 +19,27 @@ from wavernn_tpu.ops.decode import Generator
 from wavernn_tpu.utils.display import progbar, stream
 
 
+_GENERATOR_CACHE = {}
+
+
 def make_generator(cfg: WaveRNNConfig, state, backend: str = None) -> Generator:
+    """Build (or reuse) a Generator for this config.  Cached per
+    (cfg, backend) so checkpoint-time auditions reuse compiled programs —
+    fresh variables are swapped in as program inputs."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if backend is None:
         import jax
 
         on_tpu = jax.devices()[0].platform == "tpu"
-        backend = "pallas" if (on_tpu and getattr_or(hp, "gen_use_pallas", True)) else "scan"
-    return Generator(cfg, variables, backend=backend)
-
-
-def getattr_or(obj, name, default):
-    try:
-        return getattr(obj, name)
-    except AttributeError:
-        return default
+        backend = "pallas" if (on_tpu and hp.get("gen_use_pallas", True)) else "scan"
+    key = (cfg, backend)
+    gen = _GENERATOR_CACHE.get(key)
+    if gen is None:
+        gen = Generator(cfg, variables, backend=backend)
+        _GENERATOR_CACHE[key] = gen
+    else:
+        gen.update_variables(variables)
+    return gen
 
 
 def _timed_generate(gen: Generator, mel, batched, target, overlap, mu_law,

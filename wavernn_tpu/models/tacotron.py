@@ -33,14 +33,6 @@ from wavernn_tpu.ops.rnn import BiGRU, _uniform_init, gru_cell_step, lstm_cell_s
 MAX_R = 20  # ref: models/tacotron.py:211
 
 
-def getattr_safe(obj, name, default):
-    """hp-style attribute access with a default (hp raises on missing)."""
-    try:
-        return getattr(obj, name)
-    except AttributeError:
-        return default
-
-
 @dataclass(frozen=True)
 class TacotronConfig:
     embed_dims: int = 256
@@ -65,7 +57,7 @@ class TacotronConfig:
             num_chars=num_chars,
             encoder_dims=hp.tts_encoder_dims,
             decoder_dims=hp.tts_decoder_dims,
-            attn_mode=getattr_safe(hp, "tts_attn_mode", "lsa"),
+            attn_mode=hp.get("tts_attn_mode", "lsa"),
             n_mels=hp.num_mels,
             fft_bins=hp.num_mels,
             postnet_dims=hp.tts_postnet_dims,
@@ -129,7 +121,7 @@ class BatchNormConv(nn.Module):
         )(x)[:, :T]
         if self.relu:
             y = nn.relu(y)
-        return nn.BatchNorm(use_running_average=not train, name="bnorm")(y)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bnorm")(y)
 
 
 class PreNet(nn.Module):

@@ -110,10 +110,10 @@ class ResBlock(nn.Module):
     def __call__(self, x, train: bool):
         residual = x
         x = nn.Conv(self.dims, kernel_size=(1,), use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.dims, kernel_size=(1,), use_bias=False, name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(x)
         return x + residual
 
 
@@ -131,7 +131,7 @@ class MelResNet(nn.Module):
         k_size = self.pad * 2 + 1
         x = nn.Conv(self.compute_dims, kernel_size=(k_size,), padding="VALID",
                     use_bias=False, name="conv_in")(m)
-        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
         x = nn.relu(x)
         for i in range(self.res_blocks):
             x = ResBlock(self.compute_dims, name=f"block{i}")(x, train)

@@ -198,7 +198,7 @@ class Generator:
 
         @partial(jax.jit, static_argnames=("mu_law", "batched", "target",
                                            "overlap", "num_folds_padded"))
-        def full_pipeline(variables, mels_padded, num_folds, key, *,
+        def full_pipeline(variables, weights, mels_padded, num_folds, key, *,
                           mu_law: bool, batched: bool, target: int,
                           overlap: int, num_folds_padded: int):
             """The whole mel→waveform graph as ONE program: upsample convs,
@@ -216,7 +216,7 @@ class Generator:
                     aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
             else:
                 mels_f, aux_f = mels_up, aux
-            samples = self._decode(mels_f, aux_f, key)
+            samples = self._decode(weights, mels_f, aux_f, key)
             return finalize(
                 samples, num_folds, mu_law=mu_law, batched=batched,
                 overlap=overlap, n_classes=cfg.n_classes,
@@ -264,7 +264,7 @@ class Generator:
 
         output = np.asarray(
             self._full_pipeline(
-                self.variables, jnp.asarray(mels),
+                self.variables, self.weights, jnp.asarray(mels),
                 jnp.asarray(num_folds, jnp.int32), jax.random.PRNGKey(seed),
                 mu_law=mu_law, batched=batched, target=target, overlap=overlap,
                 num_folds_padded=_round_up(num_folds, self.fold_bucket),
@@ -320,7 +320,7 @@ class Generator:
             mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
             aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
 
-        samples = self._decode(mels_f, aux_f, jax.random.PRNGKey(seed))
+        samples = self._decode(self.weights, mels_f, aux_f, jax.random.PRNGKey(seed))
 
         outputs = []
         offset = 0
@@ -345,17 +345,23 @@ class Generator:
             outputs.append(out)
         return outputs
 
+    def update_variables(self, variables) -> None:
+        """Swap in new model variables (e.g. a fresher checkpoint) without
+        discarding compiled programs — variables/weights are program *inputs*."""
+        self.variables = variables
+        self.weights = extract_decode_weights(variables["params"])
+
     # -- internals -------------------------------------------------------------
 
-    def _decode(self, mels_f, aux_f, key):
+    def _decode(self, weights, mels_f, aux_f, key):
         if self.backend == "pallas":
             from wavernn_tpu.ops import pallas_decode
 
             return pallas_decode.decode(
-                self.weights, mels_f, aux_f, key,
+                weights, mels_f, aux_f, key,
                 mode=self.cfg.mode, n_classes=self.cfg.n_classes,
             )
         return decode_scan(
-            self.weights, mels_f, aux_f, key,
+            weights, mels_f, aux_f, key,
             mode=self.cfg.mode, n_classes=self.cfg.n_classes,
         )

@@ -17,7 +17,8 @@ _ONES = [
 _TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
          "eighty", "ninety"]
 _SCALES = ["", " thousand", " million", " billion", " trillion",
-           " quadrillion", " quintillion"]
+           " quadrillion", " quintillion", " sextillion", " septillion",
+           " octillion", " nonillion", " decillion"]
 
 _ORDINAL_IRREGULAR = {
     "one": "first", "two": "second", "three": "third", "five": "fifth",
@@ -75,6 +76,11 @@ def number_to_words(num, andword: str = "and", zero: str = "zero",
     n = int(s)
     if n == 0:
         return zero
+    if n >= 1000 ** len(_SCALES):
+        # beyond named scales: read the digits individually (robust fallback;
+        # such tokens are ids/serials, not quantities)
+        words = " ".join(zero if d == "0" else _ONES[int(d)] for d in s)
+        return ("minus " + words) if negative else words
     groups = []
     scale = 0
     while n > 0:

@@ -26,7 +26,7 @@ from wavernn_tpu.config import hp
 from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
 from wavernn_tpu.ops.mol import discretized_mix_logistic_loss
 from wavernn_tpu.paths import Paths
-from wavernn_tpu.training.state import TrainState
+from wavernn_tpu.training.state import TrainState, set_learning_rate
 from wavernn_tpu.utils.checkpoints import save_checkpoint
 from wavernn_tpu.utils.display import stream
 
@@ -83,12 +83,20 @@ def voc_train_loop(
     train_set,
     test_set,
     total_steps: int,
+    lr: Optional[float] = None,
     shard_batch: Optional[Callable] = None,
     gen_at_checkpoint: bool = True,
 ) -> TrainState:
-    """Epoch/step training loop with in-loop audition + checkpoint cadence."""
+    """Epoch/step training loop with in-loop audition + checkpoint cadence.
+
+    ``lr`` (when given) is re-injected into the restored optimizer state so a
+    resumed run honors the configured learning rate instead of silently
+    keeping the checkpointed one (matching the reference's per-run
+    ``param_group['lr'] = lr``, ref: train_wavernn.py:95)."""
     from wavernn_tpu.infer.wavernn import gen_testset
 
+    if lr is not None:
+        set_learning_rate(state.opt_state, lr)
     model = WaveRNN(cfg)
     train_step = make_train_step(model, optimizer, cfg.mode)
 
