@@ -39,6 +39,8 @@ def main():
     parser.add_argument("--voc_weights", "-w", type=str, help="[string/path] alternative WaveRNN weights")
     parser.add_argument("--gta", "-g", dest="gta", action="store_true",
                         help="generate from GTA testset")
+    parser.add_argument("--eval", dest="eval_mcd", action="store_true",
+                        help="report copy-synthesis MCD over the test set")
     parser.add_argument("--force_cpu", "-c", action="store_true", help="force CPU-only generation")
     parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",
                         help="the file to use for the hyperparameters")
@@ -77,6 +79,12 @@ def main():
         file = Path(args.file).expanduser()
         gen_from_file(cfg, state, file, paths.voc_output, args.batched,
                       args.target, args.overlap)
+    elif args.eval_mcd:
+        from wavernn_tpu.infer.eval import eval_testset_mcd
+
+        _, test_set = get_vocoder_datasets(paths.data, 1, args.gta)
+        eval_testset_mcd(cfg, state, test_set, args.samples, args.batched,
+                         args.target, args.overlap)
     else:
         _, test_set = get_vocoder_datasets(paths.data, 1, args.gta)
         gen_testset(cfg, state, test_set, args.samples, args.batched,
