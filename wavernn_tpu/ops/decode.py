@@ -234,7 +234,6 @@ class Generator:
         overlap: int,
         mu_law: bool,
         seed: int = 0,
-        progress_callback=None,
     ) -> np.ndarray:
         """mels: (n_mels, T_mel) or (1, n_mels, T_mel) normalized mel.
         Returns float64 waveform of length (T_mel-1)*hop."""
