@@ -82,6 +82,40 @@ def test_gru_sequence_matches_torch():
     )
 
 
+def test_bigru_matches_torch_bidirectional():
+    import torch
+
+    from wavernn_tpu.ops.rnn import BiGRU
+
+    torch.manual_seed(3)
+    B, T, I, H = 2, 9, 4, 5
+    tgru = torch.nn.GRU(I, H, batch_first=True, bidirectional=True)
+    x = torch.randn(B, T, I)
+    expected, _ = tgru(x)
+
+    def cell(prefix):
+        return {
+            "w_ih": jnp.asarray(getattr(tgru, f"weight_ih_l0{prefix}").detach().numpy().T),
+            "w_hh": jnp.asarray(getattr(tgru, f"weight_hh_l0{prefix}").detach().numpy().T),
+            "b_ih": jnp.asarray(getattr(tgru, f"bias_ih_l0{prefix}").detach().numpy()),
+            "b_hh": jnp.asarray(getattr(tgru, f"bias_hh_l0{prefix}").detach().numpy()),
+        }
+
+    params = {"fwd": {"cell": cell("")}, "bwd": {"cell": cell("_reverse")}}
+    ys = BiGRU(H).apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(ys), expected.detach().numpy(), atol=1e-5)
+
+
+def test_pre_de_emphasis_roundtrip(hp_default):
+    from wavernn_tpu.dsp import audio
+
+    hp_default.preemphasis = 0.97
+    x = np.random.default_rng(0).uniform(-0.5, 0.5, 1000)
+    y = audio.pre_emphasis(x)
+    back = audio.de_emphasis(y)
+    np.testing.assert_allclose(back, x, atol=1e-10)
+
+
 # -- MOL loss vs independent float64 reference ------------------------------------
 
 
