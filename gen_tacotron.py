@@ -90,11 +90,15 @@ def main():
         voc_state = load_weights(voc_state, voc_load_path)
 
     print("\nInitialising Tacotron Model...\n")
+    from wavernn_tpu.training.tacotron import r_for_step
+
     tts_cfg = TacotronConfig.from_hp(hp, num_chars=len(symbols))
-    final_r = hp.tts_schedule[-1][0]
-    tts_state = build_tts_state(tts_cfg, final_r)
+    tts_state = build_tts_state(tts_cfg, hp.tts_schedule[-1][0])
     tts_load_path = args.tts_weights if args.tts_weights else paths.tts_latest_weights
     tts_state = load_weights(tts_state, tts_load_path)
+    # r follows the checkpoint's schedule position (the reference reads the
+    # restored model.r buffer, ref: gen_tacotron.py:267)
+    final_r = r_for_step(tts_state.get_step(), hp.tts_schedule)
 
     if args.input_text:
         inputs = [text_to_sequence(args.input_text.strip(), hp.tts_cleaner_names)]

@@ -65,10 +65,12 @@ def main():
     print("\nInitialising Tacotron Model...\n")
     from gen_tacotron import build_tts_state
 
+    from wavernn_tpu.training.tacotron import r_for_step
+
     tts_cfg = TacotronConfig.from_hp(hp, num_chars=len(symbols))
-    r = hp.tts_schedule[-1][0]
-    tts_state = build_tts_state(tts_cfg, r)
+    tts_state = build_tts_state(tts_cfg, hp.tts_schedule[-1][0])
     tts_state = load_weights(tts_state, "quick_start/tts_weights/latest_weights.msgpack")
+    r = r_for_step(tts_state.get_step(), hp.tts_schedule)
 
     if args.input_text:
         inputs = [text_to_sequence(args.input_text.strip(), hp.tts_cleaner_names)]

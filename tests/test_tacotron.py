@@ -185,6 +185,17 @@ def test_gta_export(tmp_path):
         assert gta.shape[0] == cfg.n_mels
 
 
+def test_r_for_step_schedule_position():
+    from wavernn_tpu.training.tacotron import r_for_step
+
+    sched = [(7, 1e-3, 10_000, 32), (5, 1e-4, 100_000, 32), (2, 1e-4, 180_000, 16)]
+    assert r_for_step(0, sched) == 7
+    assert r_for_step(9_999, sched) == 7
+    assert r_for_step(10_000, sched) == 5
+    assert r_for_step(150_000, sched) == 2
+    assert r_for_step(999_999, sched) == 2  # past the schedule: final r
+
+
 def test_curriculum_session_selection(hp_tiny, tmp_path):
     """Resume must land in the session the restored step dictates
     (ref: train_tacotron.py:68-90)."""

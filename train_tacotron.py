@@ -85,9 +85,13 @@ def main():
         print("To continue training increase the schedule in hparams.py or use --force_train\n")
 
     print("Creating Ground Truth Aligned Dataset...\n")
-    final_r = hp.tts_schedule[-1][0]
-    train_set, _ = get_tts_datasets(paths.data, 8, final_r, drop_last=False)
-    create_gta_features(cfg, state, train_set, paths.gta, final_r)
+    from wavernn_tpu.training.tacotron import r_for_step
+
+    # use the r of the checkpoint's schedule position (the reference reads
+    # model.r from the restored buffer, ref: train_tacotron.py:108)
+    gta_r = r_for_step(state.get_step(), hp.tts_schedule)
+    train_set, _ = get_tts_datasets(paths.data, 8, gta_r, drop_last=False)
+    create_gta_features(cfg, state, train_set, paths.gta, gta_r)
     print("\n\nYou can now train WaveRNN on GTA features - use python train_wavernn.py --gta\n")
 
 

@@ -187,6 +187,16 @@ def run_schedule(
     return state
 
 
+def r_for_step(step: int, schedule) -> int:
+    """The r of the curriculum session a step falls in (the functional
+    equivalent of the reference's checkpointed model.r buffer, ref:
+    models/tacotron.py:302-308): sessions are (r, lr, max_step, bs)."""
+    for r, _, max_step, _ in schedule:
+        if step < max_step:
+            return r
+    return schedule[-1][0]
+
+
 def create_gta_features(
     cfg: TacotronConfig,
     state: TrainState,
