@@ -42,6 +42,9 @@ class WaveRNNConfig:
     hop_length: int = 275
     sample_rate: int = 22050
     mode: str = "MOL"  # 'RAW' | 'MOL'
+    # optional reduced-precision matmuls for training ('bfloat16'); state and
+    # accumulation stay f32.  None = full f32 (bitwise parity with reference).
+    compute_dtype: str = None
 
     @property
     def n_classes(self) -> int:
@@ -77,6 +80,7 @@ class WaveRNNConfig:
             hop_length=hp.hop_length,
             sample_rate=hp.sample_rate,
             mode=hp.voc_mode,
+            compute_dtype=hp.get("voc_compute_dtype", None),
         )
 
 
@@ -208,8 +212,8 @@ class WaveRNN(nn.Module):
             c.pad, name="upsample",
         )
         self.I = TorchDense(c.rnn_dims, name="I")
-        self.rnn1 = GRU(c.rnn_dims, name="rnn1")
-        self.rnn2 = GRU(c.rnn_dims, name="rnn2")
+        self.rnn1 = GRU(c.rnn_dims, compute_dtype=c.compute_dtype, name="rnn1")
+        self.rnn2 = GRU(c.rnn_dims, compute_dtype=c.compute_dtype, name="rnn2")
         self.fc1 = TorchDense(c.fc_dims, name="fc1")
         self.fc2 = TorchDense(c.fc_dims, name="fc2")
         self.fc3 = TorchDense(c.n_classes, name="fc3")

@@ -27,11 +27,23 @@ def _uniform_init(bound: float):
     return init
 
 
-def gru_cell_step(x, h, w_ih, w_hh, b_ih, b_hh):
-    """One GRU step in torch convention.  x:(B,I) h:(B,H) → h':(B,H)."""
+def _dot(x, w, compute_dtype):
+    """Matmul with optional low-precision inputs and f32 accumulation."""
+    if compute_dtype is None:
+        return x @ w
+    cd = jnp.dtype(compute_dtype)
+    return jnp.dot(x.astype(cd), w.astype(cd),
+                   preferred_element_type=jnp.float32)
+
+
+def gru_cell_step(x, h, w_ih, w_hh, b_ih, b_hh, compute_dtype=None):
+    """One GRU step in torch convention.  x:(B,I) h:(B,H) → h':(B,H).
+
+    ``compute_dtype`` (e.g. 'bfloat16') runs the two matmuls in reduced
+    precision with f32 accumulation; gate math and state stay f32."""
     H = h.shape[-1]
-    gi = x @ w_ih + b_ih
-    gh = h @ w_hh + b_hh
+    gi = _dot(x, w_ih, compute_dtype) + b_ih
+    gh = _dot(h, w_hh, compute_dtype) + b_hh
     i_r, i_z, i_n = gi[..., :H], gi[..., H: 2 * H], gi[..., 2 * H:]
     h_r, h_z, h_n = gh[..., :H], gh[..., H: 2 * H], gh[..., 2 * H:]
     r = jax.nn.sigmoid(i_r + h_r)
@@ -40,10 +52,11 @@ def gru_cell_step(x, h, w_ih, w_hh, b_ih, b_hh):
     return (1.0 - z) * n + z * h
 
 
-def lstm_cell_step(x, h, c, w_ih, w_hh, b_ih, b_hh):
+def lstm_cell_step(x, h, c, w_ih, w_hh, b_ih, b_hh, compute_dtype=None):
     """One LSTM step in torch convention.  Returns (h', c')."""
     H = h.shape[-1]
-    gates = x @ w_ih + h @ w_hh + b_ih + b_hh
+    gates = (_dot(x, w_ih, compute_dtype) + _dot(h, w_hh, compute_dtype)
+             + b_ih + b_hh)
     i = jax.nn.sigmoid(gates[..., :H])
     f = jax.nn.sigmoid(gates[..., H: 2 * H])
     g = jnp.tanh(gates[..., 2 * H: 3 * H])
@@ -56,6 +69,7 @@ class GRUCell(nn.Module):
     """GRU cell with torch weight layout: w_ih (I,3H), w_hh (H,3H)."""
 
     hidden: int
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray):
@@ -66,7 +80,7 @@ class GRUCell(nn.Module):
         w_hh = self.param("w_hh", init, (self.hidden, 3 * self.hidden))
         b_ih = self.param("b_ih", init, (3 * self.hidden,))
         b_hh = self.param("b_hh", init, (3 * self.hidden,))
-        h = gru_cell_step(x, h, w_ih, w_hh, b_ih, b_hh)
+        h = gru_cell_step(x, h, w_ih, w_hh, b_ih, b_hh, self.compute_dtype)
         return h, h
 
 
@@ -96,6 +110,7 @@ class GRU(nn.Module):
     """
 
     hidden: int
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None):
@@ -109,7 +124,8 @@ class GRU(nn.Module):
             in_axes=1,
             out_axes=1,
         )
-        h, ys = scan(hidden=self.hidden, name="cell")(h0, xs)
+        h, ys = scan(hidden=self.hidden, compute_dtype=self.compute_dtype,
+                     name="cell")(h0, xs)
         return ys, h
 
 
