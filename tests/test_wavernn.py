@@ -112,6 +112,26 @@ def test_generate_batch_multiple_utterances():
         assert np.isfinite(wav).all()
 
 
+def test_streaming_generation_chunks():
+    """stream() must emit progressively and, concatenated, cover exactly the
+    same sample count (with the tail fade) as a full generate."""
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    rng = np.random.default_rng(0)
+    mel = rng.uniform(0, 1, (cfg.feat_dims, 60)).astype(np.float32)
+    gen = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    fold_bucket=4)
+    chunks = list(gen.stream(mel, target=2750, overlap=550, mu_law=True,
+                             group=2))
+    assert len(chunks) >= 2  # actually streamed
+    wav = np.concatenate(chunks)
+    assert wav.shape == ((60 - 1) * cfg.hop_length,)
+    assert np.isfinite(wav).all()
+    assert abs(wav[-1]) < 1e-6  # tail fade applied to the last chunk
+
+
 def test_generate_deterministic_given_seed():
     from wavernn_tpu.ops.decode import Generator
 

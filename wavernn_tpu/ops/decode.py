@@ -344,6 +344,78 @@ class Generator:
             outputs.append(out)
         return outputs
 
+    def stream(self, mels, target: int, overlap: int, mu_law: bool,
+               group: int = 16, seed: int = 0):
+        """Streaming synthesis: yield finalized float64 audio chunks as fold
+        groups finish decoding (BASELINE config 5: streaming TTS serving).
+
+        Latency model: the first chunk arrives after ONE group of folds
+        decodes (~group*target samples of audio) instead of after the whole
+        utterance; each subsequent group extends the stream.  Crossfade
+        correctness: a position is final once every fold overlapping it has
+        decoded, so after group g the stream may emit up to the start of the
+        next group's first fold.
+        """
+        c = self.cfg
+        mu_law = mu_law if c.mode == "RAW" else False
+
+        mels = np.asarray(mels, dtype=np.float32)
+        if mels.ndim == 2:
+            mels = mels[None]
+        mels = np.transpose(mels, (0, 2, 1))
+        wave_len = (mels.shape[1] - 1) * c.hop_length
+
+        t_real = mels.shape[1] + 2 * c.pad
+        t_bucket = _round_up(t_real, self.frame_bucket)
+        mels = np.pad(
+            mels, ((0, 0), (c.pad, t_bucket - mels.shape[1] - c.pad), (0, 0))
+        )
+        mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
+        real_len = (t_bucket - 2 * c.pad) * c.hop_length
+        num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
+        mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
+        aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
+
+        decoded = []
+        emitted = 0
+        for g0 in range(0, num_folds, group):
+            g1 = min(g0 + group, num_folds)
+            n = g1 - g0
+            n_pad = _round_up(n, self.fold_bucket)
+            mf = jnp.pad(mels_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
+            af = jnp.pad(aux_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
+            samples = self._decode(
+                self.weights, mf, af, jax.random.PRNGKey(seed + g0)
+            )
+            decoded.append(np.asarray(samples)[:n])
+
+            all_folds = np.concatenate(decoded, axis=0)
+            n_done = all_folds.shape[0]
+            unfolded = np.asarray(
+                self._finalize(
+                    jnp.asarray(all_folds), jnp.asarray(n_done, jnp.int32),
+                    mu_law=mu_law, batched=True, overlap=overlap,
+                    n_classes=c.n_classes,
+                ),
+                dtype=np.float64,
+            )
+            if g1 >= num_folds:
+                final_upto = wave_len
+            else:
+                # the next fold starts contributing at g1*(target+overlap)
+                final_upto = min(wave_len, g1 * (target + overlap))
+            chunk = unfolded[emitted:final_upto]
+            if g1 >= num_folds:
+                fade_len = min(20 * c.hop_length, len(chunk))
+                if fade_len:
+                    chunk = chunk.copy()
+                    chunk[-fade_len:] *= np.linspace(1, 0, fade_len)
+            emitted = final_upto
+            if len(chunk):
+                yield chunk
+            if emitted >= wave_len:
+                return
+
     def update_variables(self, variables) -> None:
         """Swap in new model variables (e.g. a fresher checkpoint) without
         discarding compiled programs — variables/weights are program *inputs*."""
