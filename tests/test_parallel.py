@@ -86,6 +86,56 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_tp_train_step_matches_single_device():
+    """A tensor-parallel sharded train step (params split over 'model',
+    batch over 'data') must reproduce the single-device loss and updated
+    params — this executes the _param_spec TP layout, not just its specs."""
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.training.state import make_optimizer, new_train_state
+    from wavernn_tpu.training.wavernn import make_train_step
+
+    cfg = WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=8, pad=2, upsample_factors=(2, 2),
+        feat_dims=8, compute_dims=8, res_out_dims=8, res_blocks=1,
+        hop_length=4, sample_rate=1000, mode="RAW",
+    )
+    model = WaveRNN(cfg)
+    B = 8
+    mel_win, seq_len = 4 + 2 * cfg.pad, 4 * cfg.hop_length
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (B, seq_len)).astype(np.float32)
+    y = rng.integers(0, cfg.n_classes, (B, seq_len)).astype(np.int32)
+    mels = rng.uniform(0, 1, (B, mel_win, cfg.feat_dims)).astype(np.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mels), True)
+    opt = make_optimizer(1e-3, 4.0)
+
+    def run(tp: bool):
+        step = make_train_step(model, opt, cfg.mode, donate=False)
+        if tp:
+            plan = make_mesh({"data": 4, "model": 2})
+            with plan.mesh:
+                params = shard_params(plan, variables["params"],
+                                      tensor_parallel=True)
+                bstats = shard_params(plan, variables["batch_stats"],
+                                      tensor_parallel=False)
+                state = new_train_state(params, bstats, opt)
+                xb, yb, mb = shard_batch_fn(plan)(x, y, mels)
+                state, loss, gn = step(state, xb, yb, mb)
+        else:
+            state = new_train_state(variables["params"],
+                                    variables["batch_stats"], opt)
+            state, loss, gn = step(state, x, y, mels)
+        return float(loss), jax.device_get(state.params)
+
+    loss_1, params_1 = run(False)
+    loss_tp, params_tp = run(True)
+    assert loss_1 == pytest.approx(loss_tp, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_fold_sharded_generation():
     """Sequence-parallel generation: the fold axis sharded over the mesh."""
     from jax.sharding import NamedSharding, PartitionSpec as P
