@@ -106,3 +106,91 @@ def test_ljspeech_recipe(tmp_path):
     d = ljspeech(tmp_path)
     assert d["LJ001-0001"].strip() == "Printing, in the only sense"
     assert len(d) == 2
+
+
+# -- behavior pins for the frontend rewrite (checkpoint-compat contracts) -----
+
+
+def test_text_to_sequence_ids_pinned():
+    """Symbol IDs are a checkpoint contract: pin a concrete encoding."""
+    from wavernn_tpu.text.symbols import symbols
+
+    ids = {s: i for i, s in enumerate(symbols)}
+    seq = text_to_sequence("ab c", ["basic_cleaners"])
+    assert seq == [ids["a"], ids["b"], ids[" "], ids["c"]]
+
+
+def test_multiple_curly_segments():
+    seq = text_to_sequence("{AA1} and {B IY0}?", ["basic_cleaners"])
+    assert sequence_to_text(seq) == "{AA1} and {B IY0}?"
+
+
+def test_adjacent_arpabet_rejoined_with_space():
+    # "}{"  between two phoneme spans renders as a single space
+    seq = text_to_sequence("{HH}{AW1}", ["basic_cleaners"])
+    assert sequence_to_text(seq) == "{HH AW1}".replace("HH AW1", "HH} {AW1").replace("} {", " ")
+
+
+def test_unmatched_brace_passes_through():
+    seq = text_to_sequence("oops {AA1 unclosed", ["basic_cleaners"])
+    # '{' and the digit are not in the symbol table and are dropped;
+    # the rest is passed through as cleaned plain text
+    assert sequence_to_text(seq) == "oops aa unclosed"
+
+
+def test_unknown_cleaner_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        text_to_sequence("x", ["not_a_cleaner"])
+
+
+def test_unknown_symbols_dropped():
+    seq = text_to_sequence("aÆb", ["basic_cleaners"])  # Æ not in table
+    assert sequence_to_text(seq) == "ab"
+
+
+CMUDICT_FIXTURE = """\
+;;; comment header line
+'BOUT  B AW1 T
+READ  R EH1 D
+READ(1)  R IY1 D
+lowercase  IH0 G N AO1 R D
+BADSYM  Q Q1 X
+NUMBER  N AH1 M B ER0
+"""
+
+
+def test_cmudict_parsing():
+    import io
+
+    from wavernn_tpu.text.cmudict import CMUDict
+
+    d = CMUDict(io.StringIO(CMUDICT_FIXTURE))
+    assert len(d) == 3  # 'BOUT, READ, NUMBER (comment/lowercase/badsym skipped)
+    assert d.lookup("read") == ["R EH1 D", "R IY1 D"]  # alternates merged
+    assert d.lookup("'bout") == ["B AW1 T"]
+    assert d.lookup("badsym") is None  # invalid phones rejected
+    assert d.lookup("missing") is None
+
+
+def test_cmudict_drop_ambiguous():
+    import io
+
+    from wavernn_tpu.text.cmudict import CMUDict
+
+    d = CMUDict(io.StringIO(CMUDICT_FIXTURE), keep_ambiguous=False)
+    assert d.lookup("read") is None
+    assert d.lookup("number") == ["N AH1 M B ER0"]
+
+
+def test_ljspeech_recipe_pipe_fields(tmp_path):
+    from wavernn_tpu.text.recipes import ljspeech
+
+    (tmp_path / "metadata.csv").write_text(
+        "id1|raw one|normalized one\nid2|only-two-fields\n", encoding="utf-8"
+    )
+    d = ljspeech(tmp_path)
+    # last field wins; trailing newline preserved (reference behavior)
+    assert d["id1"] == "normalized one\n"
+    assert d["id2"] == "only-two-fields\n"

@@ -130,3 +130,29 @@ def test_get_files_sorted(tmp_path):
     (tmp_path / "sub" / "d.wav").write_bytes(b"")
     files = get_files(tmp_path, ".wav")
     assert [f.name for f in files] == ["a.wav", "b.wav", "d.wav"]
+
+
+def test_paths_tree_layout(tmp_path):
+    """Pin the artifact-tree layout (reference compat: utils/paths.py)."""
+    from wavernn_tpu.paths import Paths
+
+    p = Paths(tmp_path / "data", "vocid", "ttsid", base=tmp_path)
+    assert p.voc_checkpoints == tmp_path / "checkpoints" / "vocid.wavernn"
+    assert p.tts_checkpoints == tmp_path / "checkpoints" / "ttsid.tacotron"
+    assert p.voc_latest_weights.name == "latest_weights.msgpack"
+    assert p.voc_latest_optim.name == "latest_optim.msgpack"
+    assert p.tts_output == tmp_path / "model_outputs" / "ttsid.tacotron"
+    assert p.tts_attention == p.tts_checkpoints / "attention"
+    assert p.tts_mel_plot == p.tts_checkpoints / "mel_plots"
+    assert p.voc_log == p.voc_checkpoints / "log.txt"
+    assert p.voc_step == p.voc_checkpoints / "step.npy"
+    assert p.quant == (tmp_path / "data" / "quant").resolve()
+    assert p.get_voc_named_weights("wave_step5K").name == "wave_step5K_weights.msgpack"
+    assert p.get_tts_named_optim("taco_step2K").name == "taco_step2K_optim.msgpack"
+    # the whole tree is created
+    for d in (p.quant, p.mel, p.gta, p.voc_checkpoints, p.voc_output,
+              p.tts_checkpoints, p.tts_output, p.tts_attention, p.tts_mel_plot):
+        assert d.is_dir()
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        p.voc_nonexistent

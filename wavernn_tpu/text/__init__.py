@@ -1,68 +1,71 @@
-"""Text frontend: string → symbol-ID sequence (ref: utils/text/__init__.py).
+"""Text frontend: string ↔ symbol-ID sequence.
 
-Supports inline ARPAbet via curly braces: "Turn left on {HH AW1 S} Street."
+Capability parity with the reference frontend (ref: utils/text/__init__.py),
+re-structured around a split-based tokenizer: input text is partitioned into
+alternating plain-text / ``{ARPAbet}`` segments in one pass, plain segments
+run through the named cleaner pipelines, and phoneme segments map straight to
+``@``-prefixed symbols.  Symbol IDs are a checkpoint-compatibility contract
+(embedding rows), pinned by tests/test_text.py.
 """
 
 from __future__ import annotations
 
 import re
-from typing import List, Sequence
+from typing import Iterable, List, Sequence
 
 from wavernn_tpu.text import cleaners
 from wavernn_tpu.text.symbols import symbols
 
-_symbol_to_id = {s: i for i, s in enumerate(symbols)}
-_id_to_symbol = {i: s for i, s in enumerate(symbols)}
+# Symbols never emitted into sequences: padding and EOS markers.
+_SILENT = frozenset({"_", "~"})
 
-_curly_re = re.compile(r"(.*?)\{(.+?)\}(.*)")
+_SYMBOL_IDS = {s: i for i, s in enumerate(symbols)}
+
+# Splitting on this pattern yields [plain, phonemes, plain, phonemes, ...]:
+# odd indices are the captured interiors of {...} spans.
+_BRACED_SPAN = re.compile(r"\{(.+?)\}")
+
+
+def _encode(syms: Iterable[str]) -> List[int]:
+    return [
+        _SYMBOL_IDS[s] for s in syms if s in _SYMBOL_IDS and s not in _SILENT
+    ]
+
+
+def _apply_cleaners(text: str, cleaner_names: Sequence[str]) -> str:
+    for name in cleaner_names:
+        fn = getattr(cleaners, name, None)
+        if fn is None:
+            raise ValueError(f"Unknown cleaner: {name}")
+        text = fn(text)
+    return text
 
 
 def text_to_sequence(text: str, cleaner_names: Sequence[str]) -> List[int]:
     """Convert a text string to a sequence of symbol IDs.
 
-    Curly-brace spans are treated as space-separated ARPAbet phonemes; the
-    rest is passed through the named cleaner pipelines.
+    Curly-brace spans hold space-separated ARPAbet phonemes ("Turn left on
+    {HH AW1 S} Street."); everything else is passed through the named
+    cleaner pipelines.  Unknown symbols are silently dropped.
     """
-    sequence: List[int] = []
-    while len(text):
-        m = _curly_re.match(text)
-        if not m:
-            sequence += _symbols_to_sequence(_clean_text(text, cleaner_names))
-            break
-        sequence += _symbols_to_sequence(_clean_text(m.group(1), cleaner_names))
-        sequence += _arpabet_to_sequence(m.group(2))
-        text = m.group(3)
-    return sequence
+    ids: List[int] = []
+    for i, segment in enumerate(_BRACED_SPAN.split(text)):
+        if i % 2:  # interior of a {...} span
+            ids += _encode("@" + phone for phone in segment.split())
+        elif segment:
+            ids += _encode(_apply_cleaners(segment, cleaner_names))
+    return ids
 
 
 def sequence_to_text(sequence: Sequence[int]) -> str:
-    """Inverse of text_to_sequence (ARPAbet re-wrapped in curly braces)."""
-    result = ""
+    """Best-effort inverse of :func:`text_to_sequence` (for debugging /
+    display).  Phoneme runs come back wrapped in curly braces, with adjacent
+    spans merged into one."""
+    rendered = []
     for symbol_id in sequence:
-        if symbol_id in _id_to_symbol:
-            s = _id_to_symbol[symbol_id]
-            if len(s) > 1 and s[0] == "@":
-                s = "{%s}" % s[1:]
-            result += s
-    return result.replace("}{", " ")
-
-
-def _clean_text(text: str, cleaner_names: Sequence[str]) -> str:
-    for name in cleaner_names:
-        cleaner = getattr(cleaners, name, None)
-        if cleaner is None:
-            raise ValueError(f"Unknown cleaner: {name}")
-        text = cleaner(text)
-    return text
-
-
-def _symbols_to_sequence(syms) -> List[int]:
-    return [_symbol_to_id[s] for s in syms if _should_keep_symbol(s)]
-
-
-def _arpabet_to_sequence(text: str) -> List[int]:
-    return _symbols_to_sequence(["@" + s for s in text.split()])
-
-
-def _should_keep_symbol(s: str) -> bool:
-    return s in _symbol_to_id and s != "_" and s != "~"
+        if not 0 <= symbol_id < len(symbols):
+            continue
+        s = symbols[symbol_id]
+        rendered.append("{%s}" % s[1:] if s.startswith("@") and len(s) > 1
+                        else s)
+    return "".join(rendered).replace("}{", " ")

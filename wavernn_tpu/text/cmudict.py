@@ -1,15 +1,23 @@
-"""CMU pronouncing dictionary support (ref: utils/text/cmudict.py).
+"""CMU pronouncing dictionary support.
 
-Provides the ARPAbet symbol inventory used in the model's symbol table and a
-parser for cmudict-formatted files, so pronunciations can be injected with
-{ARPAbet} curly-brace escapes in input text.
+Capability parity with the reference (ref: utils/text/cmudict.py): the
+ARPAbet inventory feeding the model's ``@``-prefixed symbol table, and a
+loader for cmudict-formatted files so pronunciations can be injected via
+``{ARPAbet}`` escapes in input text.
+
+The parser here is regex-driven: each entry line is matched in one shot —
+head word (with optional ``(n)`` alternate marker) and phone string — and
+the phones are validated against the ARPAbet inventory.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional
+from pathlib import Path
+from typing import Dict, IO, List, Optional, Union
 
+# The fixed ARPAbet phone inventory (stress-marked vowels + consonants).
+# Order matters: wavernn_tpu.text.symbols derives embedding rows from it.
 valid_symbols = [
     "AA", "AA0", "AA1", "AA2", "AE", "AE0", "AE1", "AE2", "AH", "AH0", "AH1",
     "AH2", "AO", "AO0", "AO1", "AO2", "AW", "AW0", "AW1", "AW2", "AY", "AY0",
@@ -21,50 +29,49 @@ valid_symbols = [
     "Y", "Z", "ZH",
 ]
 
-_valid_symbol_set = set(valid_symbols)
+_ARPABET = frozenset(valid_symbols)
 
-_alt_re = re.compile(r"\([0-9]+\)")
+# Entry lines start with an uppercase word (or leading apostrophe), carry an
+# optional "(n)" alternate-pronunciation marker, and separate word from
+# phones with a double space.  Comment lines (";;;") fail the match.
+_ENTRY = re.compile(r"^(?P<word>['A-Z][^ (]*)(?:\(\d+\))?  (?P<phones>[^\n]+)")
 
 
 class CMUDict:
-    """Thin wrapper around a cmudict-formatted pronunciation file."""
+    """In-memory word → ARPAbet pronunciation table.
 
-    def __init__(self, file_or_path, keep_ambiguous: bool = True):
-        if isinstance(file_or_path, str):
-            with open(file_or_path, encoding="latin-1") as f:
-                entries = _parse_cmudict(f)
+    ``source`` is a path or an open text file in cmudict format.  With
+    ``keep_ambiguous=False``, words with multiple pronunciations are dropped
+    entirely (useful when a single deterministic expansion is wanted).
+    """
+
+    def __init__(self, source: Union[str, Path, IO[str]],
+                 keep_ambiguous: bool = True):
+        if isinstance(source, (str, Path)):
+            with open(source, encoding="latin-1") as f:
+                table = _read_entries(f)
         else:
-            entries = _parse_cmudict(file_or_path)
+            table = _read_entries(source)
         if not keep_ambiguous:
-            entries = {w: p for w, p in entries.items() if len(p) == 1}
-        self._entries = entries
+            table = {w: prons for w, prons in table.items() if len(prons) == 1}
+        self._entries = table
 
     def __len__(self) -> int:
         return len(self._entries)
 
     def lookup(self, word: str) -> Optional[List[str]]:
-        """Return list of ARPAbet pronunciations for the word, or None."""
+        """All ARPAbet pronunciations for ``word`` (case-insensitive), or
+        None if absent."""
         return self._entries.get(word.upper())
 
 
-def _parse_cmudict(file) -> Dict[str, List[str]]:
-    cmudict: Dict[str, List[str]] = {}
-    for line in file:
-        if len(line) and (line[0] >= "A" and line[0] <= "Z" or line[0] == "'"):
-            parts = line.split("  ")
-            word = _alt_re.sub("", parts[0])
-            pronunciation = _get_pronunciation(parts[1])
-            if pronunciation:
-                if word in cmudict:
-                    cmudict[word].append(pronunciation)
-                else:
-                    cmudict[word] = [pronunciation]
-    return cmudict
-
-
-def _get_pronunciation(s: str) -> Optional[str]:
-    parts = s.strip().split(" ")
-    for part in parts:
-        if part not in _valid_symbol_set:
-            return None
-    return " ".join(parts)
+def _read_entries(lines: IO[str]) -> Dict[str, List[str]]:
+    table: Dict[str, List[str]] = {}
+    for raw in lines:
+        m = _ENTRY.match(raw)
+        if not m:
+            continue
+        phones = m.group("phones").split("  ")[0].strip().split(" ")
+        if all(p in _ARPABET for p in phones):
+            table.setdefault(m.group("word"), []).append(" ".join(phones))
+    return table

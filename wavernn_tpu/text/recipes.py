@@ -1,6 +1,8 @@
-"""Dataset metadata recipes (ref: utils/text/recipes.py).
+"""Dataset metadata recipes: dataset directory → ``{utterance_id: transcript}``.
 
-A recipe maps a dataset directory to ``{utterance_id: transcript}``.
+Capability parity with the reference recipes (ref: utils/text/recipes.py).
+A recipe owns the quirks of one corpus layout; preprocessing only sees the
+resulting dict.
 """
 
 from __future__ import annotations
@@ -12,14 +14,16 @@ from wavernn_tpu.utils.files import get_files
 
 
 def ljspeech(path: Union[str, Path]) -> Dict[str, str]:
-    """LJSpeech-style ``metadata.csv``: ``id|raw text|normalized text``.
-    The last field (normalized) is used, matching the reference."""
-    csv_file = get_files(path, extension=".csv")
-    assert len(csv_file) == 1, f"expected exactly one .csv under {path}"
-
-    text_dict: Dict[str, str] = {}
-    with open(csv_file[0], encoding="utf-8") as f:
-        for line in f:
-            split = line.split("|")
-            text_dict[split[0]] = split[-1]
-    return text_dict
+    """LJSpeech layout: a single pipe-delimited ``metadata.csv`` whose rows
+    are ``id|raw text|normalized text``.  The final (normalized) field is
+    kept verbatim — including its line terminator, which the cleaner
+    pipeline later collapses — matching the reference's behavior exactly."""
+    candidates = get_files(path, extension=".csv")
+    if len(candidates) != 1:
+        raise FileNotFoundError(
+            f"expected exactly one metadata .csv under {path}, "
+            f"found {len(candidates)}"
+        )
+    with open(candidates[0], encoding="utf-8") as f:
+        return {fields[0]: fields[-1] for fields in
+                (line.split("|") for line in f)}
