@@ -142,3 +142,63 @@ def test_generate_deterministic_given_seed():
     w1 = gen(mel, batched=False, target=2750, overlap=550, mu_law=False, seed=7)
     w2 = gen(mel, batched=False, target=2750, overlap=550, mu_law=False, seed=7)
     np.testing.assert_array_equal(w1, w2)
+
+
+def test_streaming_incremental_crossfade_matches_full_unfold():
+    """The incremental per-group finalization must produce EXACTLY the same
+    audio as one full crossfade-unfold over all decoded folds, and the
+    compile count must be independent of utterance length (O(1) programs)."""
+    import jax
+    import jax.numpy as jnp
+    from wavernn_tpu.ops import fold as fold_ops
+    from wavernn_tpu.ops.decode import Generator, _round_up
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    rng = np.random.default_rng(2)
+    T_mel = 120  # long enough for several groups
+    mel = rng.uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
+    target, overlap, group = 2750, 550, 2
+    gen = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    fold_bucket=4)
+
+    chunks = list(gen.stream(mel, target=target, overlap=overlap,
+                             mu_law=True, group=group))
+    streamed = np.concatenate(chunks)
+
+    # reproduce the decode exactly (same per-group keys), then finalize the
+    # WHOLE fold stack in one unfold
+    mels_in = np.transpose(mel[None], (0, 2, 1))
+    wave_len = (T_mel - 1) * cfg.hop_length
+    t_bucket = _round_up(T_mel + 2 * cfg.pad, 16)
+    mels_in = np.pad(
+        mels_in, ((0, 0), (cfg.pad, t_bucket - T_mel - cfg.pad), (0, 0))
+    )
+    mels_up, aux = gen._upsample(gen.variables, jnp.asarray(mels_in))
+    real_len = (t_bucket - 2 * cfg.pad) * cfg.hop_length
+    num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
+    mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
+    aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
+    decoded = []
+    for g0 in range(0, num_folds, group):
+        g1 = min(g0 + group, num_folds)
+        n = g1 - g0
+        n_pad = _round_up(n, 4)
+        mf = jnp.pad(mels_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
+        af = jnp.pad(aux_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
+        decoded.append(np.asarray(gen._decode(
+            gen.weights, mf, af, jax.random.PRNGKey(g0)))[:n])
+    folds = np.concatenate(decoded, axis=0)
+    full = np.asarray(gen._finalize(
+        jnp.asarray(folds), jnp.asarray(num_folds, jnp.int32),
+        mu_law=True, batched=True, overlap=overlap, n_classes=cfg.n_classes,
+    ), dtype=np.float64)[:wave_len]
+    fade_len = min(20 * cfg.hop_length, len(full))
+    full[-fade_len:] *= np.linspace(1, 0, fade_len)
+
+    assert num_folds > 2 * group  # several incremental groups exercised
+    np.testing.assert_allclose(streamed, full, atol=1e-6)
+
+    # O(1) compiled programs: first group (no context), steady-state
+    # (group+1 folds), and possibly a short last group — never O(n_groups)
+    assert gen._finalize._cache_size() <= 3

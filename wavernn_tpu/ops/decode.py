@@ -290,26 +290,40 @@ class Generator:
         c = self.cfg
         mu_law = mu_law if c.mode == "RAW" else False
 
-        packed_m, packed_a = [], []
-        metas = []  # (num_folds, wave_len)
+        # pad every utterance to ONE bucketed frame length so the whole
+        # batch upsamples in a single dispatch (same single-dispatch
+        # philosophy as _full_pipeline); each utterance's true region is
+        # sliced back out afterwards — the upsample convs are local, so the
+        # shared zero-tail cannot perturb samples inside the true region
+        padded, metas = [], []  # metas: (t_bucket, wave_len)
         for mels in mels_list:
             mels = np.asarray(mels, dtype=np.float32)
             if mels.ndim == 2:
                 mels = mels[None]
             mels = np.transpose(mels, (0, 2, 1))
             wave_len = (mels.shape[1] - 1) * c.hop_length
+            t_bucket = _round_up(mels.shape[1] + 2 * c.pad, self.frame_bucket)
+            padded.append((mels, c.pad, t_bucket - mels.shape[1] - c.pad))
+            metas.append([t_bucket, wave_len])
 
-            t_real = mels.shape[1] + 2 * c.pad
-            t_bucket = _round_up(t_real, self.frame_bucket)
-            mels = np.pad(
-                mels, ((0, 0), (c.pad, t_bucket - mels.shape[1] - c.pad), (0, 0))
-            )
-            mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
+        t_glob = max(t for (t, _) in metas)
+        batch = np.concatenate(
+            [np.pad(m, ((0, 0), (pre, post + t_glob - (m.shape[1] + pre + post)),
+                        (0, 0)))
+             for m, pre, post in padded], axis=0,
+        )
+        mels_up_b, aux_b = self._upsample(self.variables, jnp.asarray(batch))
+
+        packed_m, packed_a = [], []
+        for i, meta in enumerate(metas):
+            t_bucket, wave_len = meta
             real_len = (t_bucket - 2 * c.pad) * c.hop_length
             num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
-            packed_m.append(fold_ops.fold_with_overlap(mels_up, target, overlap))
-            packed_a.append(fold_ops.fold_with_overlap(aux, target, overlap))
-            metas.append((num_folds, wave_len))
+            packed_m.append(fold_ops.fold_with_overlap(
+                mels_up_b[i: i + 1, :real_len], target, overlap))
+            packed_a.append(fold_ops.fold_with_overlap(
+                aux_b[i: i + 1, :real_len], target, overlap))
+            meta[0] = num_folds  # metas becomes (num_folds, wave_len)
 
         mels_f = jnp.concatenate(packed_m, axis=0)
         aux_f = jnp.concatenate(packed_a, axis=0)
@@ -351,10 +365,15 @@ class Generator:
 
         Latency model: the first chunk arrives after ONE group of folds
         decodes (~group*target samples of audio) instead of after the whole
-        utterance; each subsequent group extends the stream.  Crossfade
-        correctness: a position is final once every fold overlapping it has
-        decoded, so after group g the stream may emit up to the start of the
-        next group's first fold.
+        utterance; each subsequent group extends the stream.
+
+        Incremental crossfade finalization: only the single raw fold
+        preceding the current group is carried as context — fold k-1 is the
+        only earlier fold whose tail overlaps positions at or beyond fold
+        k's seam — so each group finalizes in O(group) with a fixed-shape
+        program, and the compile count is independent of utterance length.
+        A position is final once every fold overlapping it has decoded, so
+        after group g the stream emits up to the next group's seam start.
         """
         c = self.cfg
         mu_law = mu_law if c.mode == "RAW" else False
@@ -376,36 +395,46 @@ class Generator:
         mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
         aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
 
-        decoded = []
+        stride = target + overlap  # fold k starts at k*stride
+        # folds whose span starts at/after wave_len are pure padding — skip
+        # decoding them so the last real group carries the tail fade
+        needed_folds = min(num_folds, -(-wave_len // stride))
+        prev_fold = None  # raw samples of the last fold already decoded
         emitted = 0
-        for g0 in range(0, num_folds, group):
-            g1 = min(g0 + group, num_folds)
+        for g0 in range(0, needed_folds, group):
+            g1 = min(g0 + group, needed_folds)
             n = g1 - g0
             n_pad = _round_up(n, self.fold_bucket)
             mf = jnp.pad(mels_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
             af = jnp.pad(aux_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
-            samples = self._decode(
+            samples = np.asarray(self._decode(
                 self.weights, mf, af, jax.random.PRNGKey(seed + g0)
-            )
-            decoded.append(np.asarray(samples)[:n])
+            ))[:n]
 
-            all_folds = np.concatenate(decoded, axis=0)
-            n_done = all_folds.shape[0]
+            # finalize THIS group plus one fold of left context
+            if prev_fold is None:
+                window, base = samples, 0
+            else:
+                window = np.concatenate([prev_fold[None], samples], axis=0)
+                base = (g0 - 1) * stride
+            n_win = window.shape[0]
+            n_win_pad = _round_up(n_win, self.fold_bucket)
+            window_p = np.pad(window, ((0, n_win_pad - n_win), (0, 0)))
             unfolded = np.asarray(
                 self._finalize(
-                    jnp.asarray(all_folds), jnp.asarray(n_done, jnp.int32),
+                    jnp.asarray(window_p), jnp.asarray(n_win, jnp.int32),
                     mu_law=mu_law, batched=True, overlap=overlap,
                     n_classes=c.n_classes,
                 ),
                 dtype=np.float64,
             )
-            if g1 >= num_folds:
-                final_upto = wave_len
-            else:
-                # the next fold starts contributing at g1*(target+overlap)
-                final_upto = min(wave_len, g1 * (target + overlap))
-            chunk = unfolded[emitted:final_upto]
-            if g1 >= num_folds:
+            prev_fold = samples[-1]
+
+            final_upto = wave_len if g1 >= needed_folds else min(
+                wave_len, g1 * stride
+            )
+            chunk = unfolded[emitted - base: final_upto - base]
+            if g1 >= needed_folds:
                 fade_len = min(20 * c.hop_length, len(chunk))
                 if fade_len:
                     chunk = chunk.copy()
