@@ -75,7 +75,7 @@ def main():
     dt = time.time() - t0
     print(f"matmul-only floor: {dt:.3f}s = {dt / T * 1e6:.2f} us/step")
 
-    # 2. full production kernel
+    # 2. full production kernel + ablation/tuning sweep
     from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
     from wavernn_tpu.ops import pallas_decode
     from wavernn_tpu.ops.decode import extract_decode_weights
@@ -88,14 +88,35 @@ def main():
     rng = np.random.default_rng(0)
     mf = jnp.asarray(rng.uniform(0, 1, (B, T, 80)), jnp.float32)
     af = jnp.asarray(rng.uniform(0, 1, (B, T, 128)), jnp.float32)
-    np.asarray(pallas_decode.decode(w, mf, af, jax.random.PRNGKey(0),
-                                    mode="MOL", n_classes=30))
-    t0 = time.time()
-    np.asarray(pallas_decode.decode(w, mf, af, jax.random.PRNGKey(1),
-                                    mode="MOL", n_classes=30))
-    dt_full = time.time() - t0
-    print(f"full kernel:       {dt_full:.3f}s = {dt_full / T * 1e6:.2f} us/step")
-    print(f"non-matmul share:  {(dt_full - dt) / dt_full * 100:.0f}%")
+
+    def run(name, **kw):
+        fn = lambda s: pallas_decode.decode(
+            w, mf, af, jax.random.PRNGKey(s), mode="MOL", n_classes=30, **kw)
+        np.asarray(fn(0))  # compile + warm
+        best = min(
+            (lambda t0: (np.asarray(fn(s + 1)), time.time() - t0)[1])(
+                time.time())
+            for s in range(2)
+        )
+        print(f"{name:38s} {best:.3f}s = {best / T * 1e6:5.2f} us/step")
+        return best
+
+    full = run("full kernel (MOL stochastic)")
+    print(f"non-matmul share: {(full - dt) / full * 100:.0f}%")
+    run("  deterministic (no PRNG/sampling rng)", deterministic=True)
+    run("  ablate sampling entirely", ablate=frozenset({"sample"}))
+    run("  ablate gru gate nonlinearity", ablate=frozenset({"gates"}))
+    run("  ablate sampling+gates",
+        ablate=frozenset({"sample", "gates"}))
+    run("  ablate cond read", ablate=frozenset({"cond_read"}))
+    run("  ablate output write", ablate=frozenset({"out_write"}))
+    for chunk in (256,):
+        run(f"  chunk={chunk}", chunk=chunk)
+    for unroll in (4, 16):
+        run(f"  unroll={unroll}", unroll=unroll)
+    for b_tile in (32, 128):
+        if B >= b_tile or b_tile >= B:
+            run(f"  b_tile={b_tile}", b_tile=b_tile)
 
 
 if __name__ == "__main__":

@@ -95,30 +95,37 @@ def _decode_kernel(
     mode: str,
     n_classes: int,
     deterministic: bool,
+    chunk: int = CHUNK,
+    unroll: int = UNROLL,
+    ablate: frozenset = frozenset(),
 ):
+    # ``ablate`` is a dev-only knob (tools/kernel_breakdown.py): drop named
+    # pieces of the per-step work to attribute time. Production passes none.
+    CHUNK_ = chunk
+    UNROLL_ = unroll
     B = x_ref.shape[0]
     H = h1_ref.shape[1]
 
     if not deterministic:  # static: deterministic mode uses no RNG at all
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    n_chunks = T // CHUNK
+    n_chunks = T // CHUNK_
 
     g = pl.program_id(0)  # fold-group index
     b0 = pl.multiple_of(g * B, B)
 
-    def in_dma(slot, chunk):
+    def in_dma(slot, c):
         return pltpu.make_async_copy(
-            cond_hbm.at[pl.ds(chunk * CHUNK, CHUNK), pl.ds(b0, B)],
+            cond_hbm.at[pl.ds(c * CHUNK_, CHUNK_), pl.ds(b0, B)],
             cond_vmem.at[slot],
             in_sems.at[slot],
         )
 
-    def out_dma(slot, chunk):
+    def out_dma(slot, c):
         return pltpu.make_async_copy(
             out_vmem.at[slot],
             out_hbm.at[pl.ds(b0, B),
-                       pl.ds(pl.multiple_of(chunk * CHUNK, CHUNK), CHUNK)],
+                       pl.ds(pl.multiple_of(c * CHUNK_, CHUNK_), CHUNK_)],
             out_sems.at[slot],
         )
 
@@ -135,6 +142,8 @@ def _decode_kernel(
         """Torch-convention GRU update from precomputed input/hidden gate
         pre-activations (f32).  b_r packs b_ih+b_hh for r/z and b_ih for n;
         the hh-side n bias is scaled by r, so it stays separate."""
+        if "gates" in ablate:  # dev ablation: linear state update
+            return 0.5 * h + 0.01 * (gi[:, :H] + gh[:, :H])
         tot = gi + b_r[...]
         r = jax.nn.sigmoid(tot[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(tot[:, H:2 * H] + gh[:, H:2 * H])
@@ -160,7 +169,10 @@ def _decode_kernel(
         def one_step(i, x, h1, h2):
             """One sample step on register-resident state; returns
             (sample, x', h1', h2')."""
-            cond = cond_vmem[slot, i]          # (B, SEG) bf16
+            if "cond_read" in ablate:  # dev ablation
+                cond = jnp.zeros((B, SEG), jnp.bfloat16)
+            else:
+                cond = cond_vmem[slot, i]      # (B, SEG) bf16
             seg0 = cond[:, :LANE]              # [mel | a1 | 0]
             seg1 = cond[:, LANE:]              # [a2 | a3 | a4 | 0]
 
@@ -202,6 +214,10 @@ def _decode_kernel(
                 jnp.dot(bf(f2), w_fc3[...], preferred_element_type=jnp.float32)
                 + b_fc3[...]
             )  # (B, n_out_pad); padded logits carry a -1e30 bias
+
+            if "sample" in ablate:  # dev ablation: tanh of one logit lane
+                s = jnp.tanh(logits[:, :1])
+                return s, s, h1, h2
 
             if mode == "RAW":
                 if deterministic:
@@ -254,24 +270,26 @@ def _decode_kernel(
             h1 = h1_ref[...]
             h2 = h2_ref[...]
             samples = []
-            for u in range(UNROLL):
-                s, x, h1, h2 = one_step(jb * UNROLL + u, x, h1, h2)
+            for u in range(UNROLL_):
+                s, x, h1, h2 = one_step(jb * UNROLL_ + u, x, h1, h2)
                 samples.append(s)
             x_ref[...] = x
             h1_ref[...] = h1
             h2_ref[...] = h2
-            blk = jnp.concatenate(samples, axis=1)  # (B, UNROLL)
-            # place blk at lanes [jb*UNROLL, ...): pad to CHUNK lanes, roll to
-            # position, masked select (Mosaic has no dynamic_update_slice)
-            full = jnp.pad(blk, ((0, 0), (0, CHUNK - UNROLL)))
-            rolled = pltpu.roll(full, shift=jb * UNROLL, axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK), 1)
-            j0 = jb * UNROLL
-            mask = (lane >= j0) & (lane < j0 + UNROLL)
+            if "out_write" in ablate:  # dev ablation
+                return 0
+            blk = jnp.concatenate(samples, axis=1)  # (B, UNROLL_)
+            # place blk at lanes [jb*UNROLL_, ...): pad to CHUNK_ lanes, roll
+            # to position, masked select (Mosaic has no dynamic_update_slice)
+            full = jnp.pad(blk, ((0, 0), (0, CHUNK_ - UNROLL_)))
+            rolled = pltpu.roll(full, shift=jb * UNROLL_, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK_), 1)
+            j0 = jb * UNROLL_
+            mask = (lane >= j0) & (lane < j0 + UNROLL_)
             out_vmem[slot] = jnp.where(mask, rolled, out_vmem[slot])
             return 0
 
-        jax.lax.fori_loop(0, CHUNK // UNROLL, block_body, 0)
+        jax.lax.fori_loop(0, CHUNK_ // UNROLL_, block_body, 0)
         out_dma(slot, chunk).start()
         return 0
 
@@ -368,7 +386,8 @@ _WEIGHT_ORDER = [
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "n_classes", "deterministic", "interpret"),
+    static_argnames=("mode", "n_classes", "deterministic", "interpret",
+                     "b_tile", "chunk", "unroll", "ablate"),
 )
 def decode(
     weights: DecodeWeights,
@@ -379,21 +398,29 @@ def decode(
     n_classes: int,
     deterministic: bool = False,
     interpret: bool = False,
+    b_tile: int = B_TILE,
+    chunk: int = CHUNK,
+    unroll: int = UNROLL,
+    ablate: frozenset = frozenset(),
 ) -> jnp.ndarray:
-    """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples."""
+    """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
+
+    ``b_tile``/``chunk``/``unroll`` tune grid/DMA granularity (defaults are
+    the measured-best production values); ``ablate`` is the dev-only
+    cost-attribution knob (tools/kernel_breakdown.py)."""
     B, T, feat = mels_up.shape
     aux_d = aux.shape[-1] // 4
     H = weights.gru1_w_hh.shape[0]
 
-    # fold-group tiling: ≤ B_TILE folds per grid program (bounds VMEM)
-    if B <= B_TILE:
+    # fold-group tiling: ≤ b_tile folds per grid program (bounds VMEM)
+    if B <= b_tile:
         B_pad = _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16)
         n_groups = 1
     else:
-        B_pad = _round_up(B, B_TILE)
-        n_groups = B_pad // B_TILE
+        B_pad = _round_up(B, b_tile)
+        n_groups = B_pad // b_tile
     kernel_B = B_pad // n_groups
-    T_pad = _round_up(T, CHUNK)
+    T_pad = _round_up(T, chunk)
 
     cond = pack_conditioning(mels_up, aux, B_pad, T_pad)
 
@@ -406,6 +433,7 @@ def decode(
     kernel = functools.partial(
         _decode_kernel,
         T=T_pad, mode=mode, n_classes=n_classes, deterministic=deterministic,
+        chunk=chunk, unroll=unroll, ablate=ablate,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
@@ -419,8 +447,8 @@ def decode(
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, CHUNK, kernel_B, SEG), jnp.bfloat16),
-                pltpu.VMEM((2, kernel_B, CHUNK), jnp.float32),
+                pltpu.VMEM((2, chunk, kernel_B, SEG), jnp.bfloat16),
+                pltpu.VMEM((2, kernel_B, chunk), jnp.float32),
                 pltpu.VMEM((kernel_B, 1), jnp.float32),
                 pltpu.VMEM((kernel_B, H), jnp.float32),
                 pltpu.VMEM((kernel_B, H), jnp.float32),

@@ -103,30 +103,62 @@ class LSTMCell(nn.Module):
         return (h, c), h
 
 
-class GRU(nn.Module):
-    """Unidirectional GRU over a (B, T, C) sequence via a scanned cell.
+class _GRUWeights(nn.Module):
+    """Parameter holder keeping the ``<gru>/cell/{w_ih,w_hh,b_ih,b_hh}``
+    checkpoint tree while the sequence math lives in :class:`GRU`."""
 
-    Returns (outputs (B,T,H), final hidden (B,H)).
+    hidden: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        bound = 1.0 / self.hidden ** 0.5
+        init = _uniform_init(bound)
+        return (
+            self.param("w_ih", init, (self.in_dim, 3 * self.hidden)),
+            self.param("w_hh", init, (self.hidden, 3 * self.hidden)),
+            self.param("b_ih", init, (3 * self.hidden,)),
+            self.param("b_hh", init, (3 * self.hidden,)),
+        )
+
+
+class GRU(nn.Module):
+    """Unidirectional GRU over a (B, T, C) sequence.
+
+    cuDNN-style split: the input-side gate projection ``xs @ w_ih`` for the
+    WHOLE sequence is one large MXU-friendly matmul hoisted out of the
+    recurrence; the scan body only does the (H,3H) hidden matmul + gate
+    math.  Returns (outputs (B,T,H), final hidden (B,H)).
     """
 
     hidden: int
     compute_dtype: Optional[str] = None
+    unroll: int = 8  # scan unroll: amortizes while-loop overhead on TPU
+                     # (v5e sweep: 49.8ms @1 → 45.7ms @8, batch 32 seq 1375)
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None):
         B = xs.shape[0]
+        H = self.hidden
         if h0 is None:
-            h0 = jnp.zeros((B, self.hidden), dtype=xs.dtype)
-        scan = nn.scan(
-            GRUCell,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-        )
-        h, ys = scan(hidden=self.hidden, compute_dtype=self.compute_dtype,
-                     name="cell")(h0, xs)
-        return ys, h
+            h0 = jnp.zeros((B, H), dtype=xs.dtype)
+        w_ih, w_hh, b_ih, b_hh = _GRUWeights(H, xs.shape[-1], name="cell")()
+
+        # (B,T,I) @ (I,3H): the full sequence input projection in one dot
+        gi_seq = _dot(xs, w_ih, self.compute_dtype) + b_ih
+        cd = self.compute_dtype
+
+        def step(h, gi):
+            gh = _dot(h, w_hh, cd) + b_hh
+            r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
+            z = jax.nn.sigmoid(gi[..., H:2 * H] + gh[..., H:2 * H])
+            n = jnp.tanh(gi[..., 2 * H:] + r * gh[..., 2 * H:])
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        h, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi_seq, 0, 1),
+                             unroll=self.unroll)
+        return jnp.swapaxes(ys, 0, 1), h
 
 
 class BiGRU(nn.Module):
