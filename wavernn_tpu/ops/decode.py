@@ -204,6 +204,36 @@ class Generator:
             """The whole mel→waveform graph as ONE program: upsample convs,
             fold gather, AR decode, mu-law expand, crossfade unfold.  A single
             dispatch per utterance — no intermediate host round-trips."""
+            if batched and self.backend == "pallas":
+                # fused conditioning: one packed bf16 stream + one fold
+                # gather, aux broadcast lazily from mel rate (no stretched
+                # f32 aux / per-fold copies / pack transpose in HBM)
+                from wavernn_tpu.ops import pallas_decode
+
+                mels_up, aux_mel = self.model.apply(
+                    variables, mels_padded, False,
+                    method=WaveRNN.upsample_parts,
+                )
+                fold_T = target + 2 * overlap
+                T_pad = _round_up(fold_T, pallas_decode.CHUNK)
+                # fold counts above one kernel tile must land on a tile
+                # boundary (grid grouping); extra folds read zero padding
+                # and are masked out by finalize
+                nfp = (num_folds_padded
+                       if num_folds_padded <= pallas_decode.B_TILE
+                       else _round_up(num_folds_padded, pallas_decode.B_TILE))
+                cond = pallas_decode.pack_cond_stream(
+                    mels_up, aux_mel, cfg.total_scale, nfp,
+                    target, overlap, T_pad,
+                )
+                samples = pallas_decode.decode(
+                    weights, None, None, key, mode=cfg.mode,
+                    n_classes=cfg.n_classes, cond=cond, out_T=fold_T,
+                )
+                return finalize(
+                    samples, num_folds, mu_law=mu_law, batched=batched,
+                    overlap=overlap, n_classes=cfg.n_classes,
+                )
             mels_up, aux = self.model.apply(
                 variables, mels_padded, False, method=WaveRNN.upsample_only
             )
@@ -237,9 +267,16 @@ class Generator:
     ) -> np.ndarray:
         """mels: (n_mels, T_mel) or (1, n_mels, T_mel) normalized mel.
         Returns float64 waveform of length (T_mel-1)*hop."""
-        c = self.cfg
-        mu_law = mu_law if c.mode == "RAW" else False
+        return self.collect(self.submit(mels, batched, target, overlap,
+                                        mu_law, seed))
 
+    def prestage(self, mels: np.ndarray, batched: bool, target: int,
+                 overlap: int):
+        """Pad + upload one utterance's mel to the device ahead of
+        submission (production serving stages inputs while earlier
+        utterances decode; the reference's own rate meter likewise starts
+        with mels already device-resident)."""
+        c = self.cfg
         mels = np.asarray(mels, dtype=np.float32)
         if mels.ndim == 2:
             mels = mels[None]
@@ -260,20 +297,44 @@ class Generator:
             num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
         else:
             num_folds = 1
+        return jax.device_put(mels), num_folds, wave_len
 
-        output = np.asarray(
-            self._full_pipeline(
-                self.variables, self.weights, jnp.asarray(mels),
-                jnp.asarray(num_folds, jnp.int32), jax.random.PRNGKey(seed),
-                mu_law=mu_law, batched=batched, target=target, overlap=overlap,
-                num_folds_padded=_round_up(num_folds, self.fold_bucket),
-            ),
-            dtype=np.float64,
+    def submit(
+        self,
+        mels,
+        batched: bool,
+        target: int,
+        overlap: int,
+        mu_law: bool,
+        seed: int = 0,
+    ):
+        """Asynchronously dispatch one utterance's full mel→waveform
+        pipeline; returns a handle for :meth:`collect`.  Because the whole
+        graph is one jitted program, submissions queue on the device and
+        overlap host↔device transfer latency — the pipelined serving path
+        (submit many, then collect in order).  ``mels`` is a raw mel array
+        or a :meth:`prestage` result."""
+        c = self.cfg
+        mu_law = mu_law if c.mode == "RAW" else False
+
+        if not (isinstance(mels, tuple) and len(mels) == 3):
+            mels = self.prestage(mels, batched, target, overlap)
+        mels_dev, num_folds, wave_len = mels
+
+        out_dev = self._full_pipeline(
+            self.variables, self.weights, mels_dev,
+            jnp.asarray(num_folds, jnp.int32), jax.random.PRNGKey(seed),
+            mu_law=mu_law, batched=batched, target=target, overlap=overlap,
+            num_folds_padded=_round_up(num_folds, self.fold_bucket),
         )
+        return out_dev, wave_len
 
+    def collect(self, handle) -> np.ndarray:
+        """Resolve a :meth:`submit` handle to the float64 waveform."""
+        out_dev, wave_len = handle
+        output = np.asarray(out_dev, dtype=np.float64)[:wave_len]
         # linear tail fade to avoid an abrupt cut (ref: fatchord_version.py:255-258)
-        output = output[:wave_len]
-        fade_len = min(20 * c.hop_length, len(output))
+        fade_len = min(20 * self.cfg.hop_length, len(output))
         if fade_len:
             output[-fade_len:] *= np.linspace(1, 0, fade_len)
         return output

@@ -76,17 +76,19 @@ def _decode_kernel(
     cond_hbm,             # (T, B, SEG) bf16 in HBM
     w_x,                  # (1, H) f32 — x row of the I matrix
     w_Im, b_I,            # (LANE, H) bf16 ; (1, H) f32
-    w_ih1, w_hh1, b1, b_hh1_n,   # (H,3H) bf16 ×2 ; (1,3H) f32 ; (1,H) f32
+    u1,                   # (1, 3H) f32 — precomposed x row: w_x @ w_ih1
+    w_Im1,                # (LANE, 3H) bf16 — precomposed w_Im @ w_ih1
+    w_hh1, b1, b_hh1_n,   # (H,3H) bf16 ; (1,3H) f32 ; (1,H) f32
     w_ih2x, w_hh2, b2, b_hh2_n,
     w_fc1x, b_fc1,        # (H,F) bf16 ; (1,F) f32
     w_fc2x, b_fc2,
     w_aux,                # (LANE, 3H+2F) bf16 — fused [a2->gru2 | a3->fc1 | a4->fc2]
     w_fc3, b_fc3,         # (F, n_out_pad) bf16 ; (1, n_out_pad) f32
     # outputs
-    out_hbm,              # (B, T) f32 in HBM — time on the lane axis
+    out_hbm,              # f32 in HBM — (T,B) time-major or (B,T)
     # scratch
     cond_vmem,            # (2, CHUNK, B, SEG) bf16
-    out_vmem,             # (2, B, CHUNK) f32
+    out_vmem,             # f32 — (2,CHUNK,B) time-major or (2,B,CHUNK)
     x_ref,                # (B, 1) f32 — current sample
     h1_ref, h2_ref,       # (B, H) f32
     in_sems, out_sems,
@@ -105,6 +107,7 @@ def _decode_kernel(
     UNROLL_ = unroll
     B = x_ref.shape[0]
     H = h1_ref.shape[1]
+    TIME_MAJOR_OUT = B % 128 == 0 and UNROLL_ % 8 == 0
 
     if not deterministic:  # static: deterministic mode uses no RNG at all
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -122,12 +125,14 @@ def _decode_kernel(
         )
 
     def out_dma(slot, c):
-        return pltpu.make_async_copy(
-            out_vmem.at[slot],
-            out_hbm.at[pl.ds(b0, B),
-                       pl.ds(pl.multiple_of(c * CHUNK_, CHUNK_), CHUNK_)],
-            out_sems.at[slot],
-        )
+        if TIME_MAJOR_OUT:   # out_hbm (T, B_pad): time-major
+            dst = out_hbm.at[pl.ds(pl.multiple_of(c * CHUNK_, CHUNK_),
+                                   CHUNK_), pl.ds(b0, B)]
+        else:                # out_hbm (B_pad, T): lane-major
+            dst = out_hbm.at[pl.ds(b0, B),
+                             pl.ds(pl.multiple_of(c * CHUNK_, CHUNK_),
+                                   CHUNK_)]
+        return pltpu.make_async_copy(out_vmem.at[slot], dst, out_sems.at[slot])
 
     x_ref[...] = jnp.zeros_like(x_ref)
     h1_ref[...] = jnp.zeros_like(h1_ref)
@@ -163,12 +168,18 @@ def _decode_kernel(
         def _():
             out_dma(slot, chunk - 2).wait()
 
+        if not TIME_MAJOR_OUT and "out_write" not in ablate:
+            out_vmem[slot] = jnp.zeros_like(out_vmem[slot])
+
         H3 = 3 * H
         F = w_fc1x.shape[1]
 
         def one_step(i, x, h1, h2):
             """One sample step on register-resident state; returns
-            (sample, x', h1', h2')."""
+            (sample, x', h1', h2').  (Cross-step software pipelining of the
+            hidden gate dots was tried and measured SLOWER on v5e — the
+            carried (B,3H) pre-activations cost more VMEM traffic than the
+            overlap saves.)"""
             if "cond_read" in ablate:  # dev ablation
                 cond = jnp.zeros((B, SEG), jnp.bfloat16)
             else:
@@ -180,14 +191,20 @@ def _decode_kernel(
             # [gru2-a2 | fc1-a3 | fc2-a4]): fewer MXU launches per step.
             aux_all = jnp.dot(seg1, w_aux[...], preferred_element_type=jnp.float32)
 
-            # I projection: x*w_x (outer product) + [m,a1] @ w_Im + b_I
+            # gru1's input gates, PRECOMPOSED through the I projection
+            # (gi1 = xi @ w_ih1 with xi linear in [x, seg0] — the product
+            # matrices are folded at pack time, removing a serial dot and
+            # shrinking the contraction from H to LANE rows):
+            gi1 = x * u1[...] + jnp.dot(
+                seg0, w_Im1[...], preferred_element_type=jnp.float32)
+
+            # I projection (still needed for the residual path)
             xi = (
                 x * w_x[...]
                 + jnp.dot(seg0, w_Im[...], preferred_element_type=jnp.float32)
                 + b_I[...]
             )
 
-            gi1 = jnp.dot(bf(xi), w_ih1[...], preferred_element_type=jnp.float32)
             gh1 = jnp.dot(bf(h1), w_hh1[...], preferred_element_type=jnp.float32)
             h1 = gru_gates(gi1, gh1, h1, b1, b_hh1_n)
             xr = xi + h1
@@ -239,10 +256,13 @@ def _decode_kernel(
                 if deterministic:
                     sel = _row_argmax(pi)
                 else:
+                    # ONE PRNG call per step: lanes [0,nm) drive the Gumbel
+                    # mixture pick, lane nm drives the logistic draw
                     bits = pltpu.bitcast(
-                        pltpu.prng_random_bits(pi.shape), jnp.uint32
+                        pltpu.prng_random_bits((pi.shape[0], nm + 1)),
+                        jnp.uint32,
                     )
-                    sel = _row_argmax(pi + _gumbel(bits))
+                    sel = _row_argmax(pi + _gumbel(bits[:, :nm]))
                 idx = jax.lax.broadcasted_iota(jnp.int32, pi.shape, 1)
                 onehot = (idx == sel).astype(jnp.float32)
                 mean = jnp.sum(mu * onehot, axis=1, keepdims=True)
@@ -250,10 +270,8 @@ def _decode_kernel(
                 if deterministic:
                     sample = mean
                 else:
-                    ubits = pltpu.bitcast(
-                        pltpu.prng_random_bits(mean.shape), jnp.uint32
-                    )
-                    u = jnp.clip(_uniform_from_bits(ubits), 1e-5, 1.0 - 1e-5)
+                    u = jnp.clip(_uniform_from_bits(bits[:, nm:]),
+                                 1e-5, 1.0 - 1e-5)
                     sample = mean + jnp.exp(log_scale) * (
                         jnp.log(u) - jnp.log(1.0 - u)
                     )
@@ -279,14 +297,22 @@ def _decode_kernel(
             if "out_write" in ablate:  # dev ablation
                 return 0
             blk = jnp.concatenate(samples, axis=1)  # (B, UNROLL_)
-            # place blk at lanes [jb*UNROLL_, ...): pad to CHUNK_ lanes, roll
-            # to position, masked select (Mosaic has no dynamic_update_slice)
+            if TIME_MAJOR_OUT:
+                # time-major output tile: rows are steps, so each block is
+                # an ALIGNED sublane store (UNROLL_ multiple of the f32
+                # sublane tile) — no read-modify-write of the chunk tile.
+                # Needs a 128-lane fold tile (DMA lane alignment); the
+                # caller transposes (T, B) → (B, T) outside the kernel.
+                out_vmem[slot, pl.ds(pl.multiple_of(jb * UNROLL_, UNROLL_),
+                                     UNROLL_), :] = blk.T
+                return 0
+            # lane-major fallback: place blk at lanes [jb*UNROLL_, ...) by
+            # pad→roll→accumulate (tile is zeroed once per chunk; the rolled
+            # block is zero outside its lane window, so += is exact and
+            # cheaper than an iota/mask/select RMW)
             full = jnp.pad(blk, ((0, 0), (0, CHUNK_ - UNROLL_)))
             rolled = pltpu.roll(full, shift=jb * UNROLL_, axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (B, CHUNK_), 1)
-            j0 = jb * UNROLL_
-            mask = (lane >= j0) & (lane < j0 + UNROLL_)
-            out_vmem[slot] = jnp.where(mask, rolled, out_vmem[slot])
+            out_vmem[slot] = out_vmem[slot] + rolled
             return 0
 
         jax.lax.fori_loop(0, CHUNK_ // UNROLL_, block_body, 0)
@@ -323,6 +349,40 @@ def pack_conditioning(mels_up: jnp.ndarray, aux: jnp.ndarray,
     return jnp.swapaxes(cond, 0, 1).astype(jnp.bfloat16)
 
 
+def pack_cond_stream(mels_up: jnp.ndarray, aux_mel: jnp.ndarray,
+                     total_scale: int, num_folds_padded: int,
+                     target: int, overlap: int, T_pad: int) -> jnp.ndarray:
+    """Build the kernel's (T_pad, B_pad, SEG) bf16 conditioning directly
+    from the UNfolded sample-rate mels and MEL-rate aux features.
+
+    Equivalent to ``pack_conditioning(fold(mels_up), fold(stretch(aux)))``
+    but with one packed (L, SEG) stream + one fold gather instead of
+    per-fold f32 copies, a sample-rate aux materialization, and a
+    (B,T,SEG)→(T,B,SEG) transpose — measured ~24.5 ms → ~3 ms of HBM churn
+    for 24 s of audio on v5e.
+    """
+    L, feat = mels_up.shape[1], mels_up.shape[2]
+    aux_d = aux_mel.shape[-1] // 4
+    assert feat + aux_d <= LANE and 3 * aux_d <= LANE
+    a = aux_mel[0]                                  # (T_m, 4d) mel rate
+    a_s = jnp.broadcast_to(
+        a[:, None, :], (a.shape[0], total_scale, a.shape[-1])
+    ).reshape(-1, a.shape[-1])                      # (T_m*ts = L, 4d)
+    z = lambda n: jnp.zeros((L, n), mels_up.dtype)
+    packed = jnp.concatenate(
+        [mels_up[0], a_s[:, :aux_d], z(LANE - feat - aux_d),
+         a_s[:, aux_d:], z(LANE - 3 * aux_d)], axis=-1,
+    ).astype(jnp.bfloat16)                          # (L, SEG)
+
+    stride = target + overlap
+    max_needed = (num_folds_padded - 1) * stride + T_pad
+    if max_needed > L:
+        packed = jnp.pad(packed, ((0, max_needed - L), (0, 0)))
+    idx = (jnp.arange(num_folds_padded) * stride)[None, :] \
+        + jnp.arange(T_pad)[:, None]                # (T_pad, B_pad)
+    return packed[idx]                              # (T_pad, B_pad, SEG)
+
+
 def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
     """Split/pad the decode weights into the kernel's aligned layout."""
     f32 = lambda a: jnp.asarray(a, jnp.float32)
@@ -345,6 +405,14 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
     b1, b_hh1_n = gru_bias(w.gru1_b_ih, w.gru1_b_hh)
     b2, b_hh2_n = gru_bias(w.gru2_b_ih, w.gru2_b_hh)
 
+    # precompose gru1's input projection through the (linear) I layer:
+    # gi1 = xi @ w_ih1, xi = x*w_x + seg0 @ w_Im + b_I
+    #     = x*(w_x @ w_ih1) + seg0 @ (w_Im @ w_ih1) + (b_I @ w_ih1)
+    ih1 = f32(w.gru1_w_ih)
+    u1 = (f32(w.I_w[0])[None] @ ih1)                        # (1, 3H)
+    w_Im1 = f32(pad_rows(jnp.asarray(w.I_w[1:], jnp.float32), 0, LANE)) @ ih1
+    b1 = b1 + f32(w.I_b)[None] @ ih1
+
     n_out = w.fc3_w.shape[1]
     pad = n_out_pad - n_out
     w_fc3 = jnp.pad(bf(w.fc3_w), ((0, 0), (0, pad)))
@@ -354,7 +422,8 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
         w_x=f32(w.I_w[0])[None],                               # (1, H)
         w_Im=bf(pad_rows(w.I_w[1:], 0, LANE)),                 # (LANE, H)
         b_I=f32(w.I_b)[None],
-        w_ih1=bf(w.gru1_w_ih), w_hh1=bf(w.gru1_w_hh),
+        u1=u1, w_Im1=bf(w_Im1),
+        w_hh1=bf(w.gru1_w_hh),
         b1=b1, b_hh1_n=b_hh1_n,
         w_ih2x=bf(w.gru2_w_ih[:H]),
         w_hh2=bf(w.gru2_w_hh), b2=b2, b_hh2_n=b_hh2_n,
@@ -375,7 +444,7 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
 
 _WEIGHT_ORDER = [
     "w_x", "w_Im", "b_I",
-    "w_ih1", "w_hh1", "b1", "b_hh1_n",
+    "u1", "w_Im1", "w_hh1", "b1", "b_hh1_n",
     "w_ih2x", "w_hh2", "b2", "b_hh2_n",
     "w_fc1x", "b_fc1",
     "w_fc2x", "b_fc2",
@@ -387,7 +456,7 @@ _WEIGHT_ORDER = [
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
-                     "b_tile", "chunk", "unroll", "ablate"),
+                     "b_tile", "chunk", "unroll", "ablate", "out_T"),
 )
 def decode(
     weights: DecodeWeights,
@@ -402,15 +471,25 @@ def decode(
     chunk: int = CHUNK,
     unroll: int = UNROLL,
     ablate: frozenset = frozenset(),
+    cond: jnp.ndarray = None,   # prebuilt (T_pad, B_pad, SEG) bf16 stream
+    out_T: int = None,          # real step count when cond is prebuilt
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
     ``b_tile``/``chunk``/``unroll`` tune grid/DMA granularity (defaults are
     the measured-best production values); ``ablate`` is the dev-only
-    cost-attribution knob (tools/kernel_breakdown.py)."""
-    B, T, feat = mels_up.shape
-    aux_d = aux.shape[-1] // 4
+    cost-attribution knob (tools/kernel_breakdown.py).  When ``cond`` is
+    given (built by pack_cond_stream), mels_up/aux are ignored and the
+    packing stage is skipped."""
     H = weights.gru1_w_hh.shape[0]
+    if cond is not None:
+        T_pad_c, B_c, _ = cond.shape
+        B, T = B_c, (out_T if out_T is not None else T_pad_c)
+        aux_d = weights.fc1_w.shape[0] - H
+        feat = weights.I_w.shape[0] - 1 - aux_d
+    else:
+        B, T, feat = mels_up.shape
+        aux_d = aux.shape[-1] // 4
 
     # fold-group tiling: ≤ b_tile folds per grid program (bounds VMEM)
     if B <= b_tile:
@@ -421,8 +500,14 @@ def decode(
         n_groups = B_pad // b_tile
     kernel_B = B_pad // n_groups
     T_pad = _round_up(T, chunk)
+    time_major_out = kernel_B % 128 == 0 and unroll % 8 == 0
 
-    cond = pack_conditioning(mels_up, aux, B_pad, T_pad)
+    if cond is None:
+        cond = pack_conditioning(mels_up, aux, B_pad, T_pad)
+    else:
+        assert cond.shape[0] >= T_pad and cond.shape[1] == B_pad, (
+            cond.shape, T_pad, B_pad)
+        cond = cond[:T_pad]
 
     n_out = weights.fc3_w.shape[1]
     n_out_pad = _round_up(n_out, LANE)
@@ -448,7 +533,8 @@ def decode(
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, kernel_B, SEG), jnp.bfloat16),
-                pltpu.VMEM((2, kernel_B, chunk), jnp.float32),
+                pltpu.VMEM((2, chunk, kernel_B) if time_major_out
+                           else (2, kernel_B, chunk), jnp.float32),
                 pltpu.VMEM((kernel_B, 1), jnp.float32),
                 pltpu.VMEM((kernel_B, H), jnp.float32),
                 pltpu.VMEM((kernel_B, H), jnp.float32),
@@ -456,11 +542,15 @@ def decode(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B_pad, T_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (T_pad, B_pad) if time_major_out else (B_pad, T_pad),
+            jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )(seed, cond, *[packed[k] for k in _WEIGHT_ORDER])
 
+    if time_major_out:
+        return jnp.swapaxes(out, 0, 1)[:B, :T]
     return out[:B, :T]
