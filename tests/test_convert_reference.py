@@ -31,8 +31,11 @@ def ref_models():
     """Import the reference torch models, stubbing librosa (absent here;
     only touched at call time by utils/dsp functions we never invoke)."""
     torch = pytest.importorskip("torch")
+    stubbed = []
     for missing in ("librosa",):
-        sys.modules.setdefault(missing, types.ModuleType(missing))
+        if missing not in sys.modules:
+            sys.modules[missing] = types.ModuleType(missing)
+            stubbed.append(missing)
     # the reference predates numpy 2 (np.cumproduct was removed)
     had_cumproduct = hasattr(np, "cumproduct")
     if not had_cumproduct:
@@ -46,6 +49,10 @@ def ref_models():
     yield torch, TorchWaveRNN, TorchTacotron
     if not had_cumproduct:
         del np.cumproduct
+    for name in stubbed:
+        # don't leave an empty stub for other tests (e.g. transformers
+        # probes librosa availability via sys.modules)
+        sys.modules.pop(name, None)
 
 
 def _state_dict_numpy(model):
