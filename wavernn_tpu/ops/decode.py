@@ -254,6 +254,93 @@ class Generator:
 
         self._full_pipeline = full_pipeline
 
+        @partial(jax.jit, static_argnames=("t_buckets", "target", "overlap",
+                                           "fold_counts", "mu_law"))
+        def batch_pipeline(variables, weights, batch_mels, key, *,
+                           t_buckets: tuple, target: int, overlap: int,
+                           fold_counts: tuple, mu_law: bool):
+            """The whole multi-utterance serve as ONE program: batched
+            upsample, per-utterance packed conditioning streams concatenated
+            with offsets, one fold gather, one decode over every utterance's
+            folds, and per-utterance crossfade finalization.  The jit cache
+            keys on the tuple of bucketed frame counts, so same-shaped
+            batches reuse the program."""
+            from wavernn_tpu.ops import pallas_decode
+
+            fold_T = target + 2 * overlap
+            stride = target + overlap
+
+            def finalize_each(samples):
+                # one concatenated output array → a single host transfer;
+                # per-utterance boundaries are static (fold_counts)
+                waves, o = [], 0
+                for nf in fold_counts:
+                    waves.append(finalize(
+                        samples[o: o + nf], jnp.asarray(nf, jnp.int32),
+                        mu_law=mu_law, batched=True, overlap=overlap,
+                        n_classes=cfg.n_classes,
+                    ))
+                    o += nf
+                return jnp.concatenate(waves)
+
+            if self.backend == "pallas":
+                T_pad = _round_up(fold_T, pallas_decode.CHUNK)
+                mels_up_b, aux_mel_b = self.model.apply(
+                    variables, batch_mels, False,
+                    method=WaveRNN.upsample_parts,
+                )
+                streams, starts, off = [], [], 0
+                for i, (t_bucket, nf) in enumerate(zip(t_buckets,
+                                                       fold_counts)):
+                    frames = t_bucket - 2 * cfg.pad
+                    real_len = frames * cfg.hop_length
+                    s = pallas_decode.pack_stream(
+                        mels_up_b[i: i + 1, :real_len],
+                        aux_mel_b[i: i + 1, :frames], cfg.total_scale,
+                    )
+                    need = (nf - 1) * stride + T_pad
+                    if need > s.shape[0]:
+                        s = jnp.pad(s, ((0, need - s.shape[0]), (0, 0)))
+                    else:
+                        s = s[:need]
+                    starts += [off + b * stride for b in range(nf)]
+                    off += need
+                    streams.append(s)
+                total = len(starts)
+                total_pad = _round_up(total, self.fold_bucket)
+                if total_pad > pallas_decode.B_TILE:
+                    total_pad = _round_up(total_pad, pallas_decode.B_TILE)
+                starts += [0] * (total_pad - total)
+                cond = pallas_decode.gather_cond(
+                    jnp.concatenate(streams, axis=0),
+                    jnp.asarray(starts, jnp.int32), T_pad,
+                )
+                return finalize_each(pallas_decode.decode(
+                    weights, None, None, key, mode=cfg.mode,
+                    n_classes=cfg.n_classes, cond=cond, out_T=fold_T,
+                ))
+            # scan backend: classic folded arrays
+            mels_up_b, aux_b = self.model.apply(
+                variables, batch_mels, False, method=WaveRNN.upsample_only
+            )
+            packed_m, packed_a = [], []
+            for i, t_bucket in enumerate(t_buckets):
+                real_len = (t_bucket - 2 * cfg.pad) * cfg.hop_length
+                packed_m.append(fold_ops.fold_with_overlap(
+                    mels_up_b[i: i + 1, :real_len], target, overlap))
+                packed_a.append(fold_ops.fold_with_overlap(
+                    aux_b[i: i + 1, :real_len], target, overlap))
+            mels_f = jnp.concatenate(packed_m, axis=0)
+            aux_f = jnp.concatenate(packed_a, axis=0)
+            pad_folds = _round_up(mels_f.shape[0], self.fold_bucket) \
+                - mels_f.shape[0]
+            if pad_folds:
+                mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
+                aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
+            return finalize_each(self._decode(weights, mels_f, aux_f, key))
+
+        self._batch_pipeline = batch_pipeline
+
     # -- public API ----------------------------------------------------------
 
     def __call__(
@@ -373,46 +460,29 @@ class Generator:
                         (0, 0)))
              for m, pre, post in padded], axis=0,
         )
-        mels_up_b, aux_b = self._upsample(self.variables, jnp.asarray(batch))
 
-        packed_m, packed_a = [], []
-        for i, meta in enumerate(metas):
+        t_buckets, fold_counts = [], []
+        for meta in metas:
             t_bucket, wave_len = meta
             real_len = (t_bucket - 2 * c.pad) * c.hop_length
             num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
-            packed_m.append(fold_ops.fold_with_overlap(
-                mels_up_b[i: i + 1, :real_len], target, overlap))
-            packed_a.append(fold_ops.fold_with_overlap(
-                aux_b[i: i + 1, :real_len], target, overlap))
+            t_buckets.append(t_bucket)
+            fold_counts.append(num_folds)
             meta[0] = num_folds  # metas becomes (num_folds, wave_len)
 
-        mels_f = jnp.concatenate(packed_m, axis=0)
-        aux_f = jnp.concatenate(packed_a, axis=0)
-        total = mels_f.shape[0]
-        pad_folds = _round_up(total, self.fold_bucket) - total
-        if pad_folds:
-            mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
-            aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
+        flat = np.asarray(self._batch_pipeline(
+            self.variables, self.weights, jnp.asarray(batch),
+            jax.random.PRNGKey(seed),
+            t_buckets=tuple(t_buckets), target=target, overlap=overlap,
+            fold_counts=tuple(fold_counts), mu_law=mu_law,
+        ), dtype=np.float64)  # one transfer for the whole batch
 
-        samples = self._decode(self.weights, mels_f, aux_f, jax.random.PRNGKey(seed))
-
-        outputs = []
-        offset = 0
+        stride = target + overlap
+        outputs, o = [], 0
         for num_folds, wave_len in metas:
-            # bucket-pad the slice so _finalize compiles per bucket, not per
-            # utterance fold count
-            n_bucket = _round_up(num_folds, self.fold_bucket)
-            piece = jax.lax.dynamic_slice_in_dim(samples, offset, num_folds, 0)
-            piece = jnp.pad(piece, ((0, n_bucket - num_folds), (0, 0)))
-            offset += num_folds
-            out = np.asarray(
-                self._finalize(
-                    piece, jnp.asarray(num_folds, jnp.int32),
-                    mu_law=mu_law, batched=True, overlap=overlap,
-                    n_classes=c.n_classes,
-                ),
-                dtype=np.float64,
-            )[:wave_len]
+            seg_len = num_folds * stride + overlap
+            out = flat[o: o + wave_len].copy()
+            o += seg_len
             fade_len = min(20 * c.hop_length, len(out))
             if fade_len:
                 out[-fade_len:] *= np.linspace(1, 0, fade_len)

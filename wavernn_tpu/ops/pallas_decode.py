@@ -349,6 +349,33 @@ def pack_conditioning(mels_up: jnp.ndarray, aux: jnp.ndarray,
     return jnp.swapaxes(cond, 0, 1).astype(jnp.bfloat16)
 
 
+def pack_stream(mels_up: jnp.ndarray, aux_mel: jnp.ndarray,
+                total_scale: int) -> jnp.ndarray:
+    """(1, L, feat) sample-rate mels + (1, T_m, 4d) MEL-rate aux → one
+    packed (L, SEG) bf16 conditioning stream: seg0 = [mel|a1|0],
+    seg1 = [a2|a3|a4|0], aux broadcast lazily from mel rate."""
+    L, feat = mels_up.shape[1], mels_up.shape[2]
+    aux_d = aux_mel.shape[-1] // 4
+    assert feat + aux_d <= LANE and 3 * aux_d <= LANE
+    a = aux_mel[0]                                  # (T_m, 4d) mel rate
+    a_s = jnp.broadcast_to(
+        a[:, None, :], (a.shape[0], total_scale, a.shape[-1])
+    ).reshape(-1, a.shape[-1])                      # (T_m*ts = L, 4d)
+    z = lambda n: jnp.zeros((L, n), mels_up.dtype)
+    return jnp.concatenate(
+        [mels_up[0], a_s[:, :aux_d], z(LANE - feat - aux_d),
+         a_s[:, aux_d:], z(LANE - 3 * aux_d)], axis=-1,
+    ).astype(jnp.bfloat16)                          # (L, SEG)
+
+
+def gather_cond(packed: jnp.ndarray, starts: jnp.ndarray,
+                T_pad: int) -> jnp.ndarray:
+    """(L, SEG) stream + (B_pad,) fold start offsets → the kernel's
+    (T_pad, B_pad, SEG) conditioning, in ONE gather."""
+    idx = starts[None, :] + jnp.arange(T_pad)[:, None]
+    return packed[idx]
+
+
 def pack_cond_stream(mels_up: jnp.ndarray, aux_mel: jnp.ndarray,
                      total_scale: int, num_folds_padded: int,
                      target: int, overlap: int, T_pad: int) -> jnp.ndarray:
@@ -361,26 +388,13 @@ def pack_cond_stream(mels_up: jnp.ndarray, aux_mel: jnp.ndarray,
     (B,T,SEG)→(T,B,SEG) transpose — measured ~24.5 ms → ~3 ms of HBM churn
     for 24 s of audio on v5e.
     """
-    L, feat = mels_up.shape[1], mels_up.shape[2]
-    aux_d = aux_mel.shape[-1] // 4
-    assert feat + aux_d <= LANE and 3 * aux_d <= LANE
-    a = aux_mel[0]                                  # (T_m, 4d) mel rate
-    a_s = jnp.broadcast_to(
-        a[:, None, :], (a.shape[0], total_scale, a.shape[-1])
-    ).reshape(-1, a.shape[-1])                      # (T_m*ts = L, 4d)
-    z = lambda n: jnp.zeros((L, n), mels_up.dtype)
-    packed = jnp.concatenate(
-        [mels_up[0], a_s[:, :aux_d], z(LANE - feat - aux_d),
-         a_s[:, aux_d:], z(LANE - 3 * aux_d)], axis=-1,
-    ).astype(jnp.bfloat16)                          # (L, SEG)
-
+    packed = pack_stream(mels_up, aux_mel, total_scale)
     stride = target + overlap
     max_needed = (num_folds_padded - 1) * stride + T_pad
-    if max_needed > L:
-        packed = jnp.pad(packed, ((0, max_needed - L), (0, 0)))
-    idx = (jnp.arange(num_folds_padded) * stride)[None, :] \
-        + jnp.arange(T_pad)[:, None]                # (T_pad, B_pad)
-    return packed[idx]                              # (T_pad, B_pad, SEG)
+    if max_needed > packed.shape[0]:
+        packed = jnp.pad(packed, ((0, max_needed - packed.shape[0]), (0, 0)))
+    starts = jnp.arange(num_folds_padded) * stride
+    return gather_cond(packed, starts, T_pad)
 
 
 def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
