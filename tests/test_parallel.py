@@ -172,3 +172,42 @@ def test_fold_sharded_generation():
         out = np.asarray(samples)
     assert out.shape == (folds, T)
     assert np.isfinite(out).all()
+
+
+def test_fold_sharded_decode_matches_single_device():
+    """Sequence-parallel generation via shard_map: the fold axis sharded
+    over 8 virtual chips must reproduce the single-device decode exactly
+    (deterministic mode; stochastic shards get independent PRNG streams)."""
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.ops.decode import decode_scan, extract_decode_weights
+    from wavernn_tpu.parallel.mesh import shard_folds_decode
+
+    cfg = WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=8, pad=2, upsample_factors=(2, 2),
+        feat_dims=8, compute_dims=8, res_out_dims=8, res_blocks=1,
+        hop_length=4, sample_rate=1000, mode="RAW",
+    )
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)),
+                   jnp.zeros((1, 8, 8)), True)
+    w = extract_decode_weights(v["params"])
+    rng = np.random.default_rng(0)
+    mf = jnp.asarray(rng.uniform(0, 1, (16, 32, 8)), jnp.float32)
+    af = jnp.asarray(rng.uniform(0, 1, (16, 32, 8)), jnp.float32)
+
+    fn = lambda w_, m, a, k: decode_scan(
+        w_, m, a, k, mode="RAW", n_classes=cfg.n_classes, deterministic=True)
+    plan = make_mesh()
+    with plan.mesh:
+        out = shard_folds_decode(plan, fn, w, mf, af, jax.random.PRNGKey(0))
+    ref = decode_scan(w, mf, af, jax.random.PRNGKey(0), mode="RAW",
+                      n_classes=cfg.n_classes, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # stochastic: shards must NOT share a sample stream (key folded per shard)
+    fn_s = lambda w_, m, a, k: decode_scan(
+        w_, m, a, k, mode="RAW", n_classes=cfg.n_classes)
+    with plan.mesh:
+        s = np.asarray(shard_folds_decode(plan, fn_s, w, mf, af,
+                                          jax.random.PRNGKey(0)))
+    assert not np.array_equal(s[0], s[2])  # different shards, different draws

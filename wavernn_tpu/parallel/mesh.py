@@ -132,3 +132,35 @@ def shard_params(plan: MeshPlan, params, tensor_parallel: bool = True):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_folds_decode(plan: MeshPlan, decode_fn: Callable,
+                       weights, mels_f, aux_f, key):
+    """Sequence-parallel generation across chips: the fold axis of one long
+    utterance's batched decode is sharded over the mesh's 'data' axis and
+    each chip runs the (per-chip) decode program — scan or the fused Pallas
+    kernel — on its fold shard (SURVEY.md §5: the reference only folds
+    intra-device; here folds fan out over ICI).
+
+    ``decode_fn(weights, mels_f, aux_f, key) -> samples`` must be shape-
+    polymorphic in the fold dimension.  The PRNG key is folded with the
+    shard index so shards draw independent sample streams.
+
+    Returns (num_folds, T) samples with the same global layout as the
+    unsharded call.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    spec = P("data", None, None)
+
+    def per_shard(w, m, a, k):
+        k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+        return decode_fn(w, m, a, k)
+
+    fn = shard_map(
+        per_shard, mesh=plan.mesh,
+        in_specs=(P(), spec, spec, P()),
+        out_specs=P("data", None),
+        check_rep=False,
+    )
+    return fn(weights, mels_f, aux_f, key)
