@@ -52,6 +52,12 @@ voc_test_samples = 50                    # unseen held-out audition utterances
 voc_pad = 2                              # conditioning context for the resnet
 voc_seq_len = hop_length * 5             # must be a multiple of hop_length
 voc_clip_grad_norm = 4                   # None disables clipping
+voc_seq_chunks = 1                       # >1: sequence-chunked BPTT — k-times
+                                         # shorter scans (the TPU step is
+                                         # scan-bound), gradients truncated at
+                                         # chunk boundaries; 1 = exact BPTT
+voc_chunk_warmup = 128                   # teacher-forced context samples that
+                                         # re-warm the hidden state per chunk
 
 # Generating / Synthesizing
 voc_gen_batched = True                   # fold-parallel batched generation

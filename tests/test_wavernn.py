@@ -202,3 +202,105 @@ def test_streaming_incremental_crossfade_matches_full_unfold():
     # O(1) compiled programs: first group (no context), steady-state
     # (group+1 folds), and possibly a short last group — never O(n_groups)
     assert gen._finalize._cache_size() <= 3
+
+
+# --- sequence-chunked BPTT ---------------------------------------------------
+
+
+def test_chunk_unchunk_roundtrip():
+    from wavernn_tpu.models.wavernn import chunk_sequence, unchunk_sequence
+
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.normal(size=(3, 24, 5)).astype(np.float32))
+    for k, w in [(2, 0), (2, 3), (4, 6), (3, 8)]:
+        y = chunk_sequence(t, k, w)
+        assert y.shape == (3 * k, w + 24 // k, 5)
+        np.testing.assert_array_equal(unchunk_sequence(y, 3, k, w), t)
+        # warmup content: chunk j's first w frames == chunk j-1's last w
+        y4 = np.asarray(y).reshape(3, k, w + 24 // k, 5)
+        np.testing.assert_array_equal(y4[:, 0, :w], 0.0)
+        for j in range(1, k):
+            np.testing.assert_array_equal(
+                y4[:, j, :w], y4[:, j - 1, (24 // k):][:, :w] if False else
+                np.asarray(t).reshape(3, k, 24 // k, 5)[:, j - 1, (24 // k) - w:])
+
+
+def test_chunked_forward_exact_when_memoryless():
+    """With w_hh zeroed the GRUs are memoryless, so chunked and unchunked
+    forwards must agree exactly — an end-to-end wiring check."""
+    cfg = tiny_cfg("RAW")
+    model, variables, x, m = init_model(cfg, B=2, T_mel=9)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, x.shape).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0, 1, m.shape).astype(np.float32))
+
+    params = jax.tree_util.tree_map(lambda a: a, variables["params"])
+    H = cfg.rnn_dims
+    for r in ("rnn1", "rnn2"):
+        cell = params[r]["cell"]
+        cell["w_hh"] = jnp.zeros_like(cell["w_hh"])
+        # kill the update gate (z ≈ 0) so h_t = n_t has no h_{t-1} term
+        cell["b_hh"] = cell["b_hh"].at[H: 2 * H].set(-60.0)
+        cell["b_ih"] = cell["b_ih"].at[H: 2 * H].set(-60.0)
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    ref, _ = model.apply(variables, x, m, True, mutable=["batch_stats"])
+
+    import dataclasses
+    ccfg = dataclasses.replace(cfg, seq_chunks=5, chunk_warmup=32)
+    cmodel = WaveRNN(ccfg)
+    out, _ = cmodel.apply(variables, x, m, True, mutable=["batch_stats"])
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_eval_forward_unchanged():
+    """Chunking is a training-time option: eval forward ignores it."""
+    import dataclasses
+    cfg = tiny_cfg("RAW")
+    model, variables, x, m = init_model(cfg, B=2, T_mel=9)
+    ref = model.apply(variables, x, m, False)
+    ccfg = dataclasses.replace(cfg, seq_chunks=5, chunk_warmup=32)
+    out = WaveRNN(ccfg).apply(variables, x, m, False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_chunked_training_converges():
+    """Truncated-BPTT training still fits a tone (loss descends)."""
+    import dataclasses
+    import optax
+    from wavernn_tpu.training.state import make_optimizer, new_train_state
+    from wavernn_tpu.training.wavernn import make_train_step
+    from wavernn_tpu.dsp.audio import encode_mu_law, label_2_float
+
+    cfg = WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=8, pad=2, upsample_factors=(4, 5),
+        feat_dims=16, compute_dims=16, res_out_dims=16, res_blocks=1,
+        hop_length=20, sample_rate=1000, mode="RAW",
+        seq_chunks=4, chunk_warmup=10,
+    )
+    model = WaveRNN(cfg)
+    rng = np.random.default_rng(0)
+    B, n_frames = 4, 8
+    T = n_frames * cfg.hop_length
+    mel_win = n_frames + 2 * cfg.pad
+    wave = np.sin(2 * np.pi * 110 * np.arange(T + 1) / cfg.sample_rate)
+    labels = encode_mu_law(wave, mu=cfg.n_classes)
+    x = np.broadcast_to(
+        label_2_float(labels[:-1], cfg.bits), (B, T)).astype(np.float32)
+    y = np.broadcast_to(labels[1:], (B, T)).astype(np.int32)
+    mels = rng.uniform(0, 1, (B, mel_win, cfg.feat_dims)).astype(np.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(mels), True)
+    optimizer = make_optimizer(3e-3, 4.0)
+    state = new_train_state(variables["params"], variables["batch_stats"],
+                            optimizer)
+    step = make_train_step(model, optimizer, cfg.mode, donate=False)
+    first = None
+    for _ in range(150):
+        state, loss, _ = step(state, jnp.asarray(x), jnp.asarray(y),
+                              jnp.asarray(mels))
+        first = float(loss) if first is None else first
+    assert float(loss) < 0.5 * first, (first, float(loss))

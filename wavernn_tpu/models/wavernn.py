@@ -45,6 +45,24 @@ class WaveRNNConfig:
     # optional reduced-precision matmuls for training ('bfloat16'); state and
     # accumulation stay f32.  None = full f32 (bitwise parity with reference).
     compute_dtype: str = None
+    # Sequence-chunked BPTT (training-time only).  seq_chunks > 1 reshapes
+    # each (B, T) window into (B*k, warmup + T/k) rows — the scans run over a
+    # k-times-shorter time axis (the TPU train step is scan-latency-bound),
+    # with ``chunk_warmup`` samples of exact teacher-forced context prepended
+    # from the previous chunk so the hidden state is re-warmed before any
+    # scored position.  Gradients truncate at chunk boundaries (truncated
+    # BPTT) — the same approximation the reference already makes at every
+    # window start (h0 = 0, ref: models/fatchord_version.py:139-141), applied
+    # k times per window instead of once.  1 = exact reference semantics.
+    seq_chunks: int = 1
+    chunk_warmup: int = 128
+    # scan tuning: unroll factor (auto-clamped to a divisor of T) and
+    # rematerialized backward (recompute gates instead of stashing them).
+    # v5e sweep, batch 32, seq 1375, device-side: round-1 unroll=8 (non-
+    # dividing -> main+remainder loop with a 270MB slice copy) 45.7 ms;
+    # unroll=5 33.0; +remat 26.0; unroll=25 24.0 ms/step.
+    scan_unroll: int = 25
+    scan_remat: bool = True
 
     @property
     def n_classes(self) -> int:
@@ -81,6 +99,8 @@ class WaveRNNConfig:
             sample_rate=hp.sample_rate,
             mode=hp.voc_mode,
             compute_dtype=hp.get("voc_compute_dtype", None),
+            seq_chunks=hp.get("voc_seq_chunks", 1),
+            chunk_warmup=hp.get("voc_chunk_warmup", 128),
         )
 
 
@@ -89,17 +109,30 @@ def _torch_linear_init(in_dim: int):
 
 
 class TorchDense(nn.Module):
-    """Dense layer with torch nn.Linear default init (uniform ±1/sqrt(in))."""
+    """Dense layer with torch nn.Linear default init (uniform ±1/sqrt(in)).
+
+    Accepts either one tensor or a tuple/list of tensors that would be
+    concatenated on the last axis: the concat is algebraically distributed
+    over row-slices of the kernel (``cat(xs) @ W == Σ xs_i @ W_i``), which
+    avoids materializing the (B, T, Σc) concat in HBM — the train step is
+    activation-bandwidth-bound, not FLOPs-bound.  Parameter shapes are
+    identical either way (checkpoint-compatible)."""
 
     features: int
     use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
-        in_dim = x.shape[-1]
+        xs = x if isinstance(x, (tuple, list)) else (x,)
+        in_dim = sum(t.shape[-1] for t in xs)
         init = _torch_linear_init(in_dim)
         kernel = self.param("kernel", init, (in_dim, self.features))
-        y = x @ kernel
+        off = 0
+        y = None
+        for t in xs:
+            w = kernel[off: off + t.shape[-1]]
+            y = t @ w if y is None else y + t @ w
+            off += t.shape[-1]
         if self.use_bias:
             y = y + self.param("bias", init, (self.features,))
         return y
@@ -140,6 +173,24 @@ class MelResNet(nn.Module):
         for i in range(self.res_blocks):
             x = ResBlock(self.compute_dims, name=f"block{i}")(x, train)
         return nn.Conv(self.res_out_dims, kernel_size=(1,), name="conv_out")(x)
+
+
+def chunk_sequence(t: jnp.ndarray, k: int, warmup: int) -> jnp.ndarray:
+    """(B, T, C) → (B*k, warmup + T/k, C): split the time axis into k chunks,
+    each prefixed with the previous chunk's last ``warmup`` frames (zeros for
+    chunk 0 — the window start, where the reference also cold-starts)."""
+    B, T, C = t.shape
+    L = T // k
+    ch = t.reshape(B, k, L, C)
+    tails = jnp.pad(ch[:, :-1, L - warmup:, :], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    return jnp.concatenate([tails, ch], axis=2).reshape(B * k, warmup + L, C)
+
+
+def unchunk_sequence(y: jnp.ndarray, batch: int, k: int, warmup: int) -> jnp.ndarray:
+    """Inverse of :func:`chunk_sequence` modulo the dropped warmup frames:
+    (B*k, warmup + L, C) → (B, k*L, C)."""
+    _, LW, C = y.shape
+    return y.reshape(batch, k, LW, C)[:, :, warmup:, :].reshape(batch, -1, C)
 
 
 def stretch_time(x: jnp.ndarray, scale: int) -> jnp.ndarray:
@@ -246,8 +297,10 @@ class WaveRNN(nn.Module):
             c.pad, name="upsample",
         )
         self.I = TorchDense(c.rnn_dims, name="I")
-        self.rnn1 = GRU(c.rnn_dims, compute_dtype=c.compute_dtype, name="rnn1")
-        self.rnn2 = GRU(c.rnn_dims, compute_dtype=c.compute_dtype, name="rnn2")
+        self.rnn1 = GRU(c.rnn_dims, compute_dtype=c.compute_dtype,
+                        unroll=c.scan_unroll, remat=c.scan_remat, name="rnn1")
+        self.rnn2 = GRU(c.rnn_dims, compute_dtype=c.compute_dtype,
+                        unroll=c.scan_unroll, remat=c.scan_remat, name="rnn2")
         self.fc1 = TorchDense(c.fc_dims, name="fc1")
         self.fc2 = TorchDense(c.fc_dims, name="fc2")
         self.fc3 = TorchDense(c.n_classes, name="fc3")
@@ -257,25 +310,46 @@ class WaveRNN(nn.Module):
         c = self.cfg
         mels_up, aux = self.upsample(mels, train)
 
+        B, T = x.shape
+        k = c.seq_chunks
+        chunked = (train and k > 1 and T % k == 0
+                   and 0 <= c.chunk_warmup <= T // k)
+        if chunked:
+            x = chunk_sequence(x[..., None], k, c.chunk_warmup)[..., 0]
+            mels_up = chunk_sequence(mels_up, k, c.chunk_warmup)
+            aux = chunk_sequence(aux, k, c.chunk_warmup)
+
+        # Time-major internal layout: transpose the NARROW tensors once here
+        # (1 + feat + res_out channels) instead of letting each scan
+        # transpose its (·,·,3H) gate buffer — the train step is HBM-bound
+        # on exactly those big transposes.  Split-matmul inputs (tuples)
+        # replace every `concatenate` the reference does (fatchord_version.py
+        # 143-166): cat(xs)@W == Σ xs_i@W_i with the SAME kernel, so no
+        # (·,·,593/640) concat is ever materialized.
+        xt = jnp.swapaxes(x[..., None], 0, 1)         # (T, B, 1)
+        mels_t = jnp.swapaxes(mels_up, 0, 1)          # (T, B, feat)
+        aux_t = jnp.swapaxes(aux, 0, 1)               # (T, B, res_out)
         d = c.aux_dims
-        a1 = aux[..., 0 * d: 1 * d]
-        a2 = aux[..., 1 * d: 2 * d]
-        a3 = aux[..., 2 * d: 3 * d]
-        a4 = aux[..., 3 * d: 4 * d]
+        a1 = aux_t[..., 0 * d: 1 * d]
+        a2 = aux_t[..., 1 * d: 2 * d]
+        a3 = aux_t[..., 2 * d: 3 * d]
+        a4 = aux_t[..., 3 * d: 4 * d]
 
-        x = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
-        x = self.I(x)
+        x = self.I((xt, mels_t, a1))
         res = x
-        x, _ = self.rnn1(x)
+        x, _ = self.rnn1(x, time_major=True)
 
         x = x + res
         res = x
-        x, _ = self.rnn2(jnp.concatenate([x, a2], axis=-1))
+        x, _ = self.rnn2((x, a2), time_major=True)
 
         x = x + res
-        x = nn.relu(self.fc1(jnp.concatenate([x, a3], axis=-1)))
-        x = nn.relu(self.fc2(jnp.concatenate([x, a4], axis=-1)))
-        return self.fc3(x)
+        x = nn.relu(self.fc1((x, a3)))
+        x = nn.relu(self.fc2((x, a4)))
+        out = jnp.swapaxes(self.fc3(x), 0, 1)         # back to (B, T, classes)
+        if chunked:
+            out = unchunk_sequence(out, B, k, c.chunk_warmup)
+        return out
 
     def upsample_only(self, mels, train: bool = False):
         """Conditioning path only — used by the generation runtime."""

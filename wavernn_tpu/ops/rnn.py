@@ -133,19 +133,39 @@ class GRU(nn.Module):
 
     hidden: int
     compute_dtype: Optional[str] = None
-    unroll: int = 8  # scan unroll: amortizes while-loop overhead on TPU
-                     # (v5e sweep: 49.8ms @1 → 45.7ms @8, batch 32 seq 1375)
+    unroll: int = 8  # scan unroll: amortizes while-loop overhead on TPU.
+                     # Prefer a divisor of T — a non-dividing unroll makes
+                     # XLA slice the (T,B,3H) gate buffer into main+remainder
+                     # loops, a multi-hundred-MB copy at training shapes.
+    remat: bool = False  # jax.checkpoint the scan body: backward recomputes
+                         # gates from the 512-wide carry instead of stashing
+                         # (T,B,3H) activation buffers to HBM
 
     @nn.compact
-    def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None):
-        B = xs.shape[0]
+    def __call__(self, xs, h0: Optional[jnp.ndarray] = None,
+                 time_major: bool = False):
+        """``xs``: one (B,T,C) array — or (T,B,C) with ``time_major`` — or a
+        tuple of them, treated as a last-axis concat distributed over
+        row-slices of w_ih (no concat materialized; see TorchDense)."""
+        parts = xs if isinstance(xs, (tuple, list)) else (xs,)
+        batch_axis = 1 if time_major else 0
+        B = parts[0].shape[batch_axis]
         H = self.hidden
+        in_dim = sum(t.shape[-1] for t in parts)
         if h0 is None:
-            h0 = jnp.zeros((B, H), dtype=xs.dtype)
-        w_ih, w_hh, b_ih, b_hh = _GRUWeights(H, xs.shape[-1], name="cell")()
+            h0 = jnp.zeros((B, H), dtype=parts[0].dtype)
+        w_ih, w_hh, b_ih, b_hh = _GRUWeights(H, in_dim, name="cell")()
 
         # (B,T,I) @ (I,3H): the full sequence input projection in one dot
-        gi_seq = _dot(xs, w_ih, self.compute_dtype) + b_ih
+        # (per split part — cat(xs) @ W == Σ xs_i @ W_i)
+        off = 0
+        gi_seq = None
+        for t in parts:
+            w = w_ih[off: off + t.shape[-1]]
+            d = _dot(t, w, self.compute_dtype)
+            gi_seq = d if gi_seq is None else gi_seq + d
+            off += t.shape[-1]
+        gi_seq = gi_seq + b_ih
         cd = self.compute_dtype
 
         def step(h, gi):
@@ -156,9 +176,17 @@ class GRU(nn.Module):
             h = (1.0 - z) * n + z * h
             return h, h
 
-        h, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi_seq, 0, 1),
-                             unroll=self.unroll)
-        return jnp.swapaxes(ys, 0, 1), h
+        if self.remat:
+            step = jax.checkpoint(step)
+        if not time_major:
+            gi_seq = jnp.swapaxes(gi_seq, 0, 1)
+        T = gi_seq.shape[0]
+        unroll = self.unroll if T % self.unroll == 0 else \
+            max(u for u in range(1, self.unroll + 1) if T % u == 0)
+        h, ys = jax.lax.scan(step, h0, gi_seq, unroll=unroll)
+        if not time_major:
+            ys = jnp.swapaxes(ys, 0, 1)
+        return ys, h
 
 
 class BiGRU(nn.Module):
