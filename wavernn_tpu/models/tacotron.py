@@ -49,6 +49,13 @@ class TacotronConfig:
     dropout: float = 0.5
     stop_threshold: float = -3.4
     attn_mode: str = "lsa"  # 'lsa' (location-sensitive, default) | 'additive'
+    # jax.checkpoint the decoder scan cell: the backward recomputes the
+    # (fat) per-step decoder activations from the carry instead of stashing
+    # them to HBM — same win as the WaveRNN scan remat
+    decoder_remat: bool = True
+    # decoder scan unroll: the cell is ~30 small latency-bound ops, so
+    # unrolling lets the TPU scheduler pipeline consecutive steps
+    decoder_unroll: int = 5
 
     @classmethod
     def from_hp(cls, hp, num_chars: int) -> "TacotronConfig":
@@ -244,6 +251,17 @@ class LSA(nn.Module):
         return sig / jnp.sum(sig, axis=1, keepdims=True)  # smooth attention
 
 
+class _KernelParam(nn.Module):
+    """Bias-free kernel holder with Dense's param path (``<name>/kernel``)
+    for call sites that consume the kernel directly (e.g. r-sliced)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _xavier, self.shape)
+
+
 class _RawGRUCell(nn.Module):
     """GRU cell with torch-layout raw params (scan-broadcast friendly)."""
 
@@ -325,8 +343,15 @@ class DecoderCell(nn.Module):
         r2_h = self._zoneout(r2_h, r2_h_next) if train else r2_h_next
         x = x + r2_h
 
-        mels = Dense(c.n_mels * MAX_R, use_bias=False, name="mel_proj")(x)
-        mels = mels.reshape(-1, c.n_mels, MAX_R)[:, :, :r]  # (B, n_mels, r)
+        # mel_proj keeps the reference's (lstm, n_mels*MAX_R) kernel layout
+        # and checkpoint path (ref: tacotron.py:219,278 — project all 20
+        # r-slots, slice r), but the slice is applied to the KERNEL, not the
+        # output: the per-step matmul is 80*r wide instead of 1600, and the
+        # weight slice is loop-invariant so XLA hoists it out of the scan.
+        w_mel = _KernelParam((x.shape[-1], c.n_mels * MAX_R),
+                             name="mel_proj")()
+        w_r = w_mel.reshape(x.shape[-1], c.n_mels, MAX_R)[:, :, :r]
+        mels = jnp.einsum("bl,lmr->bmr", x, w_r)  # (B, n_mels, r)
 
         carry = (attn_h, r1_h, r1_c, r2_h, r2_c, context, cumulative, attn_prev)
         return carry, (mels, scores)
@@ -346,12 +371,18 @@ class Tacotron(nn.Module):
         c = self.cfg
         self.encoder = Encoder(c)
         self.encoder_proj = Dense(c.decoder_dims, use_bias=False)
+        # static_argnums index the lifted core_fn (module at 0, then the
+        # __call__ args): r and train land at positions 5, 6 — python
+        # statics the remat must not trace
+        cell = (nn.remat(DecoderCell, static_argnums=(5, 6))
+                if c.decoder_remat else DecoderCell)
         self.decoder = nn.scan(
-            DecoderCell,
+            cell,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, 0, nn.broadcast, nn.broadcast),
             out_axes=0,
+            unroll=c.decoder_unroll,
         )(c)
         self.postnet = CBHG(c.postnet_K, c.postnet_dims, (256, c.n_mels),
                             c.num_highways)

@@ -107,7 +107,12 @@ def _decode_kernel(
     UNROLL_ = unroll
     B = x_ref.shape[0]
     H = h1_ref.shape[1]
-    TIME_MAJOR_OUT = B % 128 == 0 and UNROLL_ % 8 == 0
+    # time-major output works at ANY fold width: the (CHUNK, L_pad) buffer
+    # keeps a 128-aligned lane dim (folds padded to L_pad lanes), each block
+    # is one aligned (U, L_pad) sublane store (U a multiple of the f32
+    # sublane tile), and the DMA lane-slices the real B folds out
+    TIME_MAJOR_OUT = UNROLL_ % 8 == 0
+    L_PAD = out_vmem.shape[-1] if TIME_MAJOR_OUT else None
 
     if not deterministic:  # static: deterministic mode uses no RNG at all
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -125,14 +130,20 @@ def _decode_kernel(
         )
 
     def out_dma(slot, c):
-        if TIME_MAJOR_OUT:   # out_hbm (T, B_pad): time-major
+        if TIME_MAJOR_OUT:
+            # out_hbm (T, n_groups*L_PAD) time-major, lane-PADDED per group
+            # (DMA lane slices must be 128-aligned, so the full padded lane
+            # window is written; the caller strips the padding outside)
+            src = out_vmem.at[slot]
             dst = out_hbm.at[pl.ds(pl.multiple_of(c * CHUNK_, CHUNK_),
-                                   CHUNK_), pl.ds(b0, B)]
+                                   CHUNK_),
+                             pl.ds(pl.multiple_of(g * L_PAD, L_PAD), L_PAD)]
         else:                # out_hbm (B_pad, T): lane-major
+            src = out_vmem.at[slot]
             dst = out_hbm.at[pl.ds(b0, B),
                              pl.ds(pl.multiple_of(c * CHUNK_, CHUNK_),
                                    CHUNK_)]
-        return pltpu.make_async_copy(out_vmem.at[slot], dst, out_sems.at[slot])
+        return pltpu.make_async_copy(src, dst, out_sems.at[slot])
 
     x_ref[...] = jnp.zeros_like(x_ref)
     h1_ref[...] = jnp.zeros_like(h1_ref)
@@ -296,16 +307,16 @@ def _decode_kernel(
             h2_ref[...] = h2
             if "out_write" in ablate:  # dev ablation
                 return 0
-            blk = jnp.concatenate(samples, axis=1)  # (B, UNROLL_)
             if TIME_MAJOR_OUT:
-                # time-major output tile: rows are steps, so each block is
-                # an ALIGNED sublane store (UNROLL_ multiple of the f32
-                # sublane tile) — no read-modify-write of the chunk tile.
-                # Needs a 128-lane fold tile (DMA lane alignment); the
+                # rows are steps: each block is ONE aligned (U, L_pad)
+                # sublane store — no zero/roll/RMW of the chunk tile.  The
                 # caller transposes (T, B) → (B, T) outside the kernel.
+                blk = jnp.concatenate([s.T for s in samples], axis=0)
                 out_vmem[slot, pl.ds(pl.multiple_of(jb * UNROLL_, UNROLL_),
-                                     UNROLL_), :] = blk.T
+                                     UNROLL_), :] = jnp.pad(
+                    blk, ((0, 0), (0, L_PAD - B)))
                 return 0
+            blk = jnp.concatenate(samples, axis=1)  # (B, UNROLL_)
             # lane-major fallback: place blk at lanes [jb*UNROLL_, ...) by
             # pad→roll→accumulate (tile is zeroed once per chunk; the rolled
             # block is zero outside its lane window, so += is exact and
@@ -514,7 +525,7 @@ def decode(
         n_groups = B_pad // b_tile
     kernel_B = B_pad // n_groups
     T_pad = _round_up(T, chunk)
-    time_major_out = kernel_B % 128 == 0 and unroll % 8 == 0
+    time_major_out = unroll % 8 == 0
 
     if cond is None:
         cond = pack_conditioning(mels_up, aux, B_pad, T_pad)
@@ -547,7 +558,8 @@ def decode(
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, kernel_B, SEG), jnp.bfloat16),
-                pltpu.VMEM((2, chunk, kernel_B) if time_major_out
+                pltpu.VMEM((2, chunk, _round_up(kernel_B, LANE))
+                           if time_major_out
                            else (2, kernel_B, chunk), jnp.float32),
                 pltpu.VMEM((kernel_B, 1), jnp.float32),
                 pltpu.VMEM((kernel_B, H), jnp.float32),
@@ -557,7 +569,8 @@ def decode(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (T_pad, B_pad) if time_major_out else (B_pad, T_pad),
+            (T_pad, n_groups * _round_up(kernel_B, LANE)) if time_major_out
+            else (B_pad, T_pad),
             jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -566,5 +579,8 @@ def decode(
     )(seed, cond, *[packed[k] for k in _WEIGHT_ORDER])
 
     if time_major_out:
+        L_pad = _round_up(kernel_B, LANE)
+        out = out.reshape(T_pad, n_groups, L_pad)[:, :, :kernel_B]
+        out = out.reshape(T_pad, B_pad)
         return jnp.swapaxes(out, 0, 1)[:B, :T]
     return out[:B, :T]
