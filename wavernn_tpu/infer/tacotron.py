@@ -35,7 +35,16 @@ class TTSGenerator:
             cfg_ = self.cfg
             model = self.model
             B, L = x.shape
-            n_iters = steps // r
+            # early-exit chunking: decode EXIT_CHUNK iters per while-loop
+            # trip, stop as soon as every utterance hit the stop threshold —
+            # the compute-skipping equivalent of the reference's Python
+            # ``break`` (ref: models/tacotron.py:411); the fixed-length scan
+            # only masked it.  Shapes stay static: outputs land in
+            # preallocated buffers via dynamic_update_slice.
+            n_req = steps // r                     # the caller's hard cap
+            EXIT_CHUNK = min(50, n_req)
+            n_iters = -(-n_req // EXIT_CHUNK) * EXIT_CHUNK
+            n_chunks = n_iters // EXIT_CHUNK
 
             enc, enc_proj = model.apply(
                 variables, x, False, method=Tacotron.encode
@@ -55,9 +64,34 @@ class TTSGenerator:
                 done = done | (group_done & (t * r > 10))
                 return (carry, prev, done), (mels, scores, done)
 
-            _, (mels_seq, scores_seq, done_seq) = jax.lax.scan(
-                step, (carry0, prev0, done0), jnp.arange(n_iters)
+            mels_buf = jnp.zeros((n_iters, B, cfg_.n_mels, r))
+            scores_buf = jnp.zeros((n_iters, B, L))
+            done_buf = jnp.zeros((n_iters, B), dtype=bool)
+
+            def trip_cond(st):
+                c, state, _ = st
+                return (c < n_chunks) & ~jnp.all(state[2])
+
+            def trip_body(st):
+                c, state, (mb, sb, db) = st
+                ts = c * EXIT_CHUNK + jnp.arange(EXIT_CHUNK)
+                state, (m_seq, s_seq, d_seq) = jax.lax.scan(step, state, ts)
+                at = c * EXIT_CHUNK
+                mb = jax.lax.dynamic_update_slice(mb, m_seq, (at, 0, 0, 0))
+                sb = jax.lax.dynamic_update_slice(sb, s_seq, (at, 0, 0))
+                db = jax.lax.dynamic_update_slice(db, d_seq, (at, 0))
+                return c + 1, state, (mb, sb, db)
+
+            _, _, (mels_seq, scores_seq, done_seq) = jax.lax.while_loop(
+                trip_cond, trip_body,
+                (jnp.int32(0), (carry0, prev0, done0),
+                 (mels_buf, scores_buf, done_buf)),
             )
+            # enforce the caller's step cap (buffers are chunk-padded)
+            mels_seq = mels_seq[:n_req]
+            scores_seq = scores_seq[:n_req]
+            done_seq = done_seq[:n_req]
+            n_iters = n_req
             # (T/r, B, n_mels, r) → (B, steps, n_mels)
             mel_outputs = jnp.transpose(mels_seq, (1, 0, 3, 2)).reshape(
                 B, n_iters * r, cfg_.n_mels
