@@ -1,10 +1,16 @@
 """Free-running Tacotron generation (ref Tacotron.generate,
 models/tacotron.py:370-430).
 
-The whole text→mel graph — encode, fixed-length decode scan with a done-mask
-replacing the reference's Python ``break``, postnet — compiles to one XLA
-program per (text-length, r, steps) signature.  The host trims the output at
-the first all-silent frame group.
+The whole text→mel graph — encode, chunked early-exit decode with a
+done-mask replacing the reference's Python ``break``, postnet — compiles to
+one XLA program per (text-length, r, steps) signature.  The host trims the
+output at the first all-silent frame group.
+
+Two decode backends:
+  * ``xla`` — the scanned DecoderCell (models/tacotron.py); batch-friendly.
+  * ``pallas`` — the fused decoder-step kernel (ops/pallas_tts.py) with all
+    decoder weights VMEM-resident; the B=1 latency path on TPU.
+``auto`` picks pallas on TPU for single-utterance LSA decoding.
 """
 
 from __future__ import annotations
@@ -23,12 +29,23 @@ class TTSGenerator:
     """Jitted text → (mel, linear, attention) generator."""
 
     def __init__(self, cfg: TacotronConfig, variables, steps: int = 2000,
-                 text_bucket: int = 32):
+                 text_bucket: int = 32, backend: str = "auto"):
         self.cfg = cfg
         self.variables = variables
         self.model = Tacotron(cfg)
         self.steps = steps
         self.text_bucket = text_bucket
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if (jax.devices()[0].platform == "tpu"
+                    and cfg.attn_mode == "lsa")
+                else "xla"
+            )
+        self.backend = backend
+        self._run_pallas = (
+            _make_pallas_run(cfg, self.model) if backend == "pallas" else None
+        )
 
         @partial(jax.jit, static_argnames=("r", "steps"))
         def run(variables, x, r: int, steps: int):
@@ -126,13 +143,16 @@ class TTSGenerator:
         L = ((seq_len + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
         xp = np.zeros((1, L), dtype=np.int32)
         xp[0, :seq_len] = np.asarray(x, dtype=np.int32)
-        mel, linear, attn, n_valid = self._run(
+        run = self._run_pallas if self._run_pallas is not None else self._run
+        # ONE bundled host transfer (device_get) instead of per-array
+        # fetches: each fetch is a full host<->device round trip
+        mel, linear, attn, n_valid = jax.device_get(run(
             self.variables, jnp.asarray(xp), r, self._bucket_steps(steps, r)
-        )
+        ))
         n = int(n_valid[0]) * r
-        mel = np.asarray(mel)[0, :n].T           # (n_mels, T)
-        linear = np.asarray(linear)[0, :n].T     # (fft_bins, T)
-        attn = np.asarray(attn)[0, : int(n_valid[0]), :seq_len]  # (T/r, L)
+        mel = mel[0, :n].T           # (n_mels, T)
+        linear = linear[0, :n].T     # (fft_bins, T)
+        attn = attn[0, : int(n_valid[0]), :seq_len]  # (T/r, L)
         return mel, linear, attn
 
     def batch(self, seqs, r: int):
@@ -141,6 +161,9 @@ class TTSGenerator:
         bucketed max length — consistent with training, which attends over
         padded batches the same way (ref: utils/dataset.py:166-190).
 
+        Always uses the XLA scan path (throughput-bound; the pallas kernel
+        targets the B=1 latency case).
+
         Returns a list of (mel, linear, attn) triples, each trimmed at its
         own stop frame."""
         L = max(len(s) for s in seqs)
@@ -148,10 +171,9 @@ class TTSGenerator:
         x = np.zeros((len(seqs), L), dtype=np.int32)
         for i, s in enumerate(seqs):
             x[i, : len(s)] = s
-        mel, linear, attn, n_valid = self._run(
+        mel, linear, attn, n_valid = jax.device_get(self._run(
             self.variables, jnp.asarray(x), r, self._bucket_steps(None, r)
-        )
-        mel, linear, attn = np.asarray(mel), np.asarray(linear), np.asarray(attn)
+        ))
         out = []
         for i, s in enumerate(seqs):
             n = int(n_valid[i]) * r
@@ -161,3 +183,82 @@ class TTSGenerator:
                 attn[i, : int(n_valid[i]), : len(s)],
             ))
         return out
+
+
+def _make_pallas_run(cfg: TacotronConfig, model: Tacotron):
+    """Jitted single-utterance decode over the fused Pallas decoder kernel
+    (ops/pallas_tts.py).  Same early-exit while_loop structure as the XLA
+    path; each trip launches one CHUNK-step kernel."""
+    from wavernn_tpu.ops.pallas_tts import (
+        LANE,
+        attn_pad_len,
+        extract_tts_decode_weights,
+        init_tts_decode_state,
+        pack_tts_weights,
+        tts_decode_chunk,
+    )
+
+    CHUNK = 48
+
+    @partial(jax.jit, static_argnames=("r", "steps"))
+    def run(variables, x, r: int, steps: int):
+        B, L = x.shape
+        assert B == 1, "pallas decode backend is single-utterance"
+        n_req = steps // r
+        n_iters = -(-n_req // CHUNK) * CHUNK
+        n_chunks = n_iters // CHUNK
+
+        enc, encp = model.apply(variables, x, False, method=Tacotron.encode)
+        L_pad = attn_pad_len(L)
+        enc_pad = jnp.pad(enc[0], ((0, L_pad - L), (0, 0)))
+        encp_T = jnp.pad(encp[0].T, ((0, 0), (0, L_pad - L)))
+        w = extract_tts_decode_weights(variables["params"])
+        packed = pack_tts_weights(w, r, cfg.n_mels)
+        state0 = init_tts_decode_state(cfg.decoder_dims, cfg.lstm_dims, L_pad)
+
+        mels_buf = jnp.zeros((n_iters, r * LANE))
+        scores_buf = jnp.zeros((n_iters, L_pad))
+        done_buf = jnp.zeros((n_iters,), bool)
+
+        def trip_cond(st):
+            c, _, done, _ = st
+            return (c < n_chunks) & ~done
+
+        def trip_body(st):
+            c, state, done, (mb, sb, db) = st
+            mels_c, scores_c, stop_c, state = tts_decode_chunk(
+                packed, enc_pad, encp_T, state, CHUNK, r, cfg.n_mels, L
+            )
+            ts = c * CHUNK + jnp.arange(CHUNK)
+            raw = (stop_c < cfg.stop_threshold) & (ts * r > 10)
+            done_seq = done | (jnp.cumsum(raw.astype(jnp.int32)) > 0)
+            at = c * CHUNK
+            mb = jax.lax.dynamic_update_slice(mb, mels_c, (at, 0))
+            sb = jax.lax.dynamic_update_slice(sb, scores_c, (at, 0))
+            db = jax.lax.dynamic_update_slice(db, done_seq, (at,))
+            return c + 1, state, done_seq[-1], (mb, sb, db)
+
+        _, _, _, (mels_seq, scores_seq, done_seq) = jax.lax.while_loop(
+            trip_cond, trip_body,
+            (jnp.int32(0), state0, jnp.bool_(False),
+             (mels_buf, scores_buf, done_buf)),
+        )
+        mels_seq = mels_seq[:n_req]
+        scores_seq = scores_seq[:n_req]
+        done_seq = done_seq[:n_req]
+        # kernel rows: frame j of each step in lanes [j*LANE, j*LANE+n_mels)
+        mel_outputs = (
+            mels_seq.reshape(n_req, r, LANE)[:, :, : cfg.n_mels]
+            .reshape(1, n_req * r, cfg.n_mels)
+        )
+        linear = model.apply(
+            variables, mel_outputs, False, method=Tacotron.postnet_forward
+        )
+        attn = scores_seq[None, :, :L]          # (1, T/r, L)
+        done_bt = done_seq[None]
+        n_valid = jnp.where(
+            jnp.any(done_bt, axis=1), jnp.argmax(done_bt, axis=1) + 1, n_req
+        )
+        return mel_outputs, linear, attn, n_valid
+
+    return run
