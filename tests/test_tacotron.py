@@ -226,3 +226,22 @@ def test_curriculum_session_selection(hp_tiny, tmp_path):
     paths = Paths(tmp_path / "d", "v", "t", base=tmp_path)
     run_schedule(paths, cfg, state, opt, fake_datasets, train_loop=fake_loop)
     assert seen == [(5, 1e-4, 3), (2, 1e-4, 5)]
+
+
+def test_generation_submit_collect_pipelined():
+    """submit/collect (pipelined serving) == sequential __call__."""
+    from wavernn_tpu.infer.tacotron import TTSGenerator
+
+    cfg = tiny_cfg()
+    model, variables = init_model(cfg)
+    gen = TTSGenerator(cfg, variables, steps=40, text_bucket=8)
+    rng = np.random.default_rng(2)
+    seqs = [list(rng.integers(1, 140, n)) for n in (9, 13)]
+
+    direct = [gen(s, r=5) for s in seqs]
+    handles = [gen.submit(s, r=5) for s in seqs]
+    piped = [gen.collect(h) for h in handles]
+    for (m1, l1, a1), (m2, l2, a2) in zip(direct, piped):
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(a1, a2)

@@ -139,21 +139,32 @@ class TTSGenerator:
         Text is zero-padded up to a length bucket so varying sentence lengths
         reuse a small set of compiled programs (consistent with training,
         which attends over padded batches)."""
+        return self.collect(self.submit(x, r, steps))
+
+    def submit(self, x, r: int, steps: int = None):
+        """Asynchronously dispatch one utterance's text→mel decode; returns
+        a handle for :meth:`collect`.  Submissions queue on the device in
+        order (the whole decode is one jitted program), so a caller can
+        submit many utterances and overlap device compute with host↔device
+        transfer latency — the same pipelined serving path as the vocoder's
+        Generator.submit (ops/decode.py)."""
         seq_len = len(x)
         L = ((seq_len + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
         xp = np.zeros((1, L), dtype=np.int32)
         xp[0, :seq_len] = np.asarray(x, dtype=np.int32)
         run = self._run_pallas if self._run_pallas is not None else self._run
-        # ONE bundled host transfer (device_get) instead of per-array
-        # fetches: each fetch is a full host<->device round trip
-        mel, linear, attn, n_valid = jax.device_get(run(
-            self.variables, jnp.asarray(xp), r, self._bucket_steps(steps, r)
-        ))
+        out = run(self.variables, jnp.asarray(xp), r,
+                  self._bucket_steps(steps, r))
+        return out, r, seq_len
+
+    def collect(self, handle) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Resolve a :meth:`submit` handle to (mel, linear, attn)."""
+        (mel, linear, attn, n_valid), r, seq_len = handle
+        mel, linear, attn, n_valid = jax.device_get(
+            (mel, linear, attn, n_valid))
         n = int(n_valid[0]) * r
-        mel = mel[0, :n].T           # (n_mels, T)
-        linear = linear[0, :n].T     # (fft_bins, T)
-        attn = attn[0, : int(n_valid[0]), :seq_len]  # (T/r, L)
-        return mel, linear, attn
+        return (mel[0, :n].T, linear[0, :n].T,
+                attn[0, : int(n_valid[0]), :seq_len])
 
     def batch(self, seqs, r: int):
         """Generate MULTIPLE utterances in one decode batch (beyond the
