@@ -164,3 +164,30 @@ def test_tpu_backend_parity():
     # few 1e-2 in mel space but must stay distributionally tight
     assert stats["mel_mean_abs_diff"] < 0.05
     assert stats["attn_max_abs_diff"] < 0.2
+
+
+def test_kernel_long_text_and_high_r():
+    """L spanning two lane tiles (L_pad=256) and r=7 (first curriculum
+    session): rolls wrap through the zero padding, mel frames land in
+    their own 128-lane blocks."""
+    cfg = TacotronConfig()
+    model = Tacotron(cfg)
+    rng = np.random.default_rng(9)
+    L = 120  # > 113 -> attn_pad_len = 256
+    assert attn_pad_len(L) == 256
+    x = jnp.asarray(rng.integers(1, cfg.num_chars, (1, L)).astype(np.int32))
+    m0 = jnp.asarray(rng.uniform(-4, 4, (1, 7, cfg.n_mels)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, m0, 7, True,
+    )
+    enc, encp = model.apply(variables, x, False, method=Tacotron.encode)
+    n_steps = 8
+    mels_f, scores_f = _flax_rollout(
+        cfg, model, variables, x, enc, encp, 7, n_steps)
+    mels_k, scores_k, _ = _kernel_rollout(
+        cfg, variables, x, enc, encp, 7, n_steps, jnp.float32)
+    mels_k = mels_k.reshape(n_steps, 7, LANE)[:, :, : cfg.n_mels]
+    mels_f = np.swapaxes(mels_f, 1, 2)
+    np.testing.assert_allclose(mels_k, mels_f, atol=2e-4)
+    np.testing.assert_allclose(scores_k[:, :L], scores_f, atol=2e-5)
