@@ -52,3 +52,35 @@ class TTSPipeline:
         return self.voc.generate_batch(
             mels, target=target, overlap=overlap, mu_law=mu_law, seed=seed
         )
+
+    def stream_synthesize(self, texts: Sequence[str], target: int = 11_000,
+                          overlap: int = 550, mu_law: bool = True,
+                          seed: int = 0, lookahead: int = 1):
+        """Two-stage pipelined serving: YIELDS each text's waveform as soon
+        as it is ready, keeping the device queue primed throughout.
+
+        Both stages expose submit/collect, so text→mel decodes of upcoming
+        utterances and mel→wave decodes of finished ones interleave in the
+        device's in-order queue while the host does its transfers —
+        utterance i's audio streams out while utterance i+1 is still
+        decoding.  ``lookahead`` TTS decodes are kept in flight ahead of
+        the vocoder."""
+        seqs = [text_to_sequence(t.strip(), self.cleaners) for t in texts]
+        n = len(seqs)
+        tts_h = {}
+        for i in range(min(lookahead + 1, n)):
+            tts_h[i] = self.tts.submit(seqs[i], r=self.r)
+        voc_prev = None
+        for i in range(n):
+            _, m_linear, _ = self.tts.collect(tts_h.pop(i))
+            mel = np.clip((m_linear + 4) / 8, 0, 1)
+            vh = self.voc.submit(mel, True, target, overlap, mu_law,
+                                 seed + i)
+            nxt = i + lookahead + 1
+            if nxt < n:
+                tts_h[nxt] = self.tts.submit(seqs[nxt], r=self.r)
+            if voc_prev is not None:
+                yield self.voc.collect(voc_prev)
+            voc_prev = vh
+        if voc_prev is not None:
+            yield self.voc.collect(voc_prev)
