@@ -166,3 +166,29 @@ def test_pack_cond_stream_matches_fold_plus_pack():
     # out_T slice and the finalize num_folds mask.)
     np.testing.assert_array_equal(got[:fold_T, :num_folds],
                                   want[:fold_T, :num_folds])
+
+
+@pytest.mark.parametrize("mode", ["RAW", "MOL"])
+def test_kernel_int8_gates_close_to_scan(mode):
+    """int8 GRU-gate weights (per-column scales + dynamic per-row activation
+    quant) stay distributionally close to the f32 scan decoder."""
+    from wavernn_tpu.ops import pallas_decode
+
+    cfg = small_cfg(mode)
+    w, mels_up, aux = make_inputs(cfg, B=4, T=256)
+    key = jax.random.PRNGKey(0)
+
+    try:
+        out_k = np.asarray(pallas_decode.decode(
+            w, mels_up, aux, key, mode=mode, n_classes=cfg.n_classes,
+            deterministic=True, interpret=True, int8_gates=True,
+        ))
+    except Exception as e:  # pragma: no cover - interpreter gaps
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+
+    out_s = np.asarray(decode_scan(
+        w, mels_up, aux, key, mode=mode, n_classes=cfg.n_classes,
+        deterministic=True,
+    ))
+    agree = np.mean(np.abs(out_k - out_s) < 3e-2)
+    assert agree > 0.9, f"agreement {agree}"

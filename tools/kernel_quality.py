@@ -95,19 +95,25 @@ def main():
     # 3 seeds per backend: the scan seed-to-seed spread is the stochastic
     # noise floor the kernel's delta must be judged against
     scores = {}
-    for backend in ("scan", "pallas"):
-        gen = Generator(cfg, v, backend=backend, fold_bucket=16)
-        scores[backend] = [
+    variants = [("scan", {}), ("pallas", {}),
+                ("pallas_int8", {"backend": "pallas", "int8_gates": True})]
+    for name, kw in variants:
+        gen = Generator(cfg, v, backend=kw.get("backend", name),
+                        fold_bucket=16,
+                        int8_gates=kw.get("int8_gates", False))
+        scores[name] = [
             float(copy_synthesis_mcd(
                 gen, eval_mel, batched=True, target=hp.voc_target,
                 overlap=hp.voc_overlap, mu_law=hp.mu_law, seed=s)[0])
             for s in range(3)
         ]
-        out[f"mcd_{backend}_mean"] = round(float(np.mean(scores[backend])), 4)
-        out[f"mcd_{backend}_spread"] = round(
-            float(np.max(scores[backend]) - np.min(scores[backend])), 4)
+        out[f"mcd_{name}_mean"] = round(float(np.mean(scores[name])), 4)
+        out[f"mcd_{name}_spread"] = round(
+            float(np.max(scores[name]) - np.min(scores[name])), 4)
     out["mcd_delta_pallas_minus_scan"] = round(
         out["mcd_pallas_mean"] - out["mcd_scan_mean"], 4)
+    out["mcd_delta_int8_minus_pallas"] = round(
+        out["mcd_pallas_int8_mean"] - out["mcd_pallas_mean"], 4)
     print(json.dumps(out))
 
 

@@ -165,11 +165,18 @@ class Generator:
     """
 
     def __init__(self, cfg: WaveRNNConfig, variables, backend: str = "scan",
-                 fold_bucket: int = 4, frame_bucket: int = 32):
+                 fold_bucket: int = 4, frame_bucket: int = 32,
+                 int8_gates: bool = True):
         self.cfg = cfg
         self.variables = variables
         self.model = WaveRNN(cfg)
         self.backend = backend
+        # pallas only: stream the big GRU matrices as int8 — the kernel is
+        # weight-streaming bound, so this moves the matmul floor (~9% gen
+        # rate).  Default ON: copy-synthesis MCD delta vs the bf16 kernel
+        # measured at -1.4 (inside the +/-5..11 seed spread) by
+        # tools/kernel_quality.py; see pallas_decode.pack_weights.
+        self.int8_gates = int8_gates
         self.fold_bucket = fold_bucket
         self.frame_bucket = frame_bucket
         self._upsample = jax.jit(
@@ -229,6 +236,7 @@ class Generator:
                 samples = pallas_decode.decode(
                     weights, None, None, key, mode=cfg.mode,
                     n_classes=cfg.n_classes, cond=cond, out_T=fold_T,
+                    int8_gates=self.int8_gates,
                 )
                 return finalize(
                     samples, num_folds, mu_law=mu_law, batched=batched,
@@ -318,6 +326,7 @@ class Generator:
                 return finalize_each(pallas_decode.decode(
                     weights, None, None, key, mode=cfg.mode,
                     n_classes=cfg.n_classes, cond=cond, out_T=fold_T,
+                    int8_gates=self.int8_gates,
                 ))
             # scan backend: classic folded arrays
             mels_up_b, aux_b = self.model.apply(
@@ -591,6 +600,7 @@ class Generator:
             return pallas_decode.decode(
                 weights, mels_f, aux_f, key,
                 mode=self.cfg.mode, n_classes=self.cfg.n_classes,
+                int8_gates=self.int8_gates,
             )
         return decode_scan(
             weights, mels_f, aux_f, key,

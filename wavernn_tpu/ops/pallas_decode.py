@@ -72,27 +72,10 @@ def _row_argmax(x: jnp.ndarray) -> jnp.ndarray:
 def _decode_kernel(
     # scalar prefetch
     seed_ref,             # (1,) int32 in SMEM
-    # inputs
+    # inputs: cond stream, then the packed weights in _weight_order
+    # (int8_gates appends the three gate-scale rows), then outputs/scratch
     cond_hbm,             # (T, B, SEG) bf16 in HBM
-    w_x,                  # (1, H) f32 — x row of the I matrix
-    w_Im, b_I,            # (LANE, H) bf16 ; (1, H) f32
-    u1,                   # (1, 3H) f32 — precomposed x row: w_x @ w_ih1
-    w_Im1,                # (LANE, 3H) bf16 — precomposed w_Im @ w_ih1
-    w_hh1, b1, b_hh1_n,   # (H,3H) bf16 ; (1,3H) f32 ; (1,H) f32
-    w_ih2x, w_hh2, b2, b_hh2_n,
-    w_fc1x, b_fc1,        # (H,F) bf16 ; (1,F) f32
-    w_fc2x, b_fc2,
-    w_aux,                # (LANE, 3H+2F) bf16 — fused [a2->gru2 | a3->fc1 | a4->fc2]
-    w_fc3, b_fc3,         # (F, n_out_pad) bf16 ; (1, n_out_pad) f32
-    # outputs
-    out_hbm,              # f32 in HBM — (T,B) time-major or (B,T)
-    # scratch
-    cond_vmem,            # (2, CHUNK, B, SEG) bf16
-    out_vmem,             # f32 — (2,CHUNK,B) time-major or (2,B,CHUNK)
-    x_ref,                # (B, 1) f32 — current sample
-    h1_ref, h2_ref,       # (B, H) f32
-    in_sems, out_sems,
-    *,
+    *rest,
     T: int,
     mode: str,
     n_classes: int,
@@ -100,7 +83,24 @@ def _decode_kernel(
     chunk: int = CHUNK,
     unroll: int = UNROLL,
     ablate: frozenset = frozenset(),
+    int8_gates: bool = False,
 ):
+    names = _weight_order(int8_gates)
+    ws = dict(zip(names, rest))
+    (out_hbm,             # f32 in HBM — (T,B) time-major or (B,T)
+     cond_vmem,           # (2, CHUNK, B, SEG) bf16
+     out_vmem,            # f32 — (2,CHUNK,B) time-major or (2,B,CHUNK)
+     x_ref,               # (B, 1) f32 — current sample
+     h1_ref, h2_ref,      # (B, H) f32
+     in_sems, out_sems) = rest[len(names):]
+    w_x, w_Im, b_I = ws["w_x"], ws["w_Im"], ws["b_I"]
+    u1, w_Im1 = ws["u1"], ws["w_Im1"]            # precomposed gru1 inputs
+    w_hh1, b1, b_hh1_n = ws["w_hh1"], ws["b1"], ws["b_hh1_n"]
+    w_ih2x, w_hh2, b2, b_hh2_n = (ws["w_ih2x"], ws["w_hh2"], ws["b2"],
+                                  ws["b_hh2_n"])
+    w_fc1x, b_fc1 = ws["w_fc1x"], ws["b_fc1"]
+    w_fc2x, b_fc2 = ws["w_fc2x"], ws["b_fc2"]
+    w_aux, w_fc3, b_fc3 = ws["w_aux"], ws["w_fc3"], ws["b_fc3"]
     # ``ablate`` is a dev-only knob (tools/kernel_breakdown.py): drop named
     # pieces of the per-step work to attribute time. Production passes none.
     CHUNK_ = chunk
@@ -153,6 +153,21 @@ def _decode_kernel(
 
     def bf(x):
         return x.astype(jnp.bfloat16)
+
+    def gdot(a, wq, scale_name):
+        """Gate matmul: bf16, or int8 weights + per-row dynamic activation
+        quantization (acc in int32, rescaled by act-row x weight-column
+        scales).  int8 halves the streamed bytes of the three big GRU
+        matrices — the kernel's matmul floor is weight-streaming bound."""
+        if not int8_gates:
+            return jnp.dot(bf(a), wq[...], preferred_element_type=jnp.float32)
+        sa = jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True),
+                         1e-8) * (1.0 / 127.0)
+        qa = jnp.round(a / sa).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qa, wq[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sa * ws[scale_name][...])
 
     def gru_gates(gi, gh, h, b_r, b_hh_n_r):
         """Torch-convention GRU update from precomputed input/hidden gate
@@ -216,15 +231,12 @@ def _decode_kernel(
                 + b_I[...]
             )
 
-            gh1 = jnp.dot(bf(h1), w_hh1[...], preferred_element_type=jnp.float32)
+            gh1 = gdot(h1, w_hh1, "w_hh1_s")
             h1 = gru_gates(gi1, gh1, h1, b1, b_hh1_n)
             xr = xi + h1
 
-            gi2 = (
-                jnp.dot(bf(xr), w_ih2x[...], preferred_element_type=jnp.float32)
-                + aux_all[:, :H3]
-            )
-            gh2 = jnp.dot(bf(h2), w_hh2[...], preferred_element_type=jnp.float32)
+            gi2 = gdot(xr, w_ih2x, "w_ih2x_s") + aux_all[:, :H3]
+            gh2 = gdot(h2, w_hh2, "w_hh2_s")
             h2 = gru_gates(gi2, gh2, h2, b2, b_hh2_n)
             xr = xr + h2
 
@@ -408,12 +420,25 @@ def pack_cond_stream(mels_up: jnp.ndarray, aux_mel: jnp.ndarray,
     return gather_cond(packed, starts, T_pad)
 
 
-def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
-    """Split/pad the decode weights into the kernel's aligned layout."""
+def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
+                 int8_gates: bool = False):
+    """Split/pad the decode weights into the kernel's aligned layout.
+
+    ``int8_gates`` stores the three big GRU matrices (w_hh1, gru2's w_ih,
+    w_hh2 — ~65% of the per-step weight bytes) as int8 with per-column
+    symmetric scales: the kernel is weight-streaming bound, so halving
+    those bytes moves the matmul floor (activations are dynamically
+    quantized per row in-kernel; gate math stays f32)."""
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     bf = lambda a: jnp.asarray(a, jnp.bfloat16)
     H = w.gru1_w_hh.shape[0]
     F = w.fc1_w.shape[1]
+
+    def q8(mat):
+        mat = f32(mat)
+        m = jnp.max(jnp.abs(mat), axis=0, keepdims=True)
+        s = jnp.where(m > 0, m, 1.0) / 127.0
+        return jnp.round(mat / s).astype(jnp.int8), s  # (rows,N) i8, (1,N)
 
     def pad_rows(mat, row_offset, total_rows):
         out = jnp.zeros((total_rows, mat.shape[1]), mat.dtype)
@@ -443,15 +468,30 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
     w_fc3 = jnp.pad(bf(w.fc3_w), ((0, 0), (0, pad)))
     b_fc3 = jnp.pad(f32(w.fc3_b), (0, pad), constant_values=-1e30)[None]
 
+    if int8_gates:
+        w_hh1_q, w_hh1_s = q8(w.gru1_w_hh)
+        w_ih2x_q, w_ih2x_s = q8(w.gru2_w_ih[:H])
+        w_hh2_q, w_hh2_s = q8(w.gru2_w_hh)
+        gate_entries = dict(
+            w_hh1=w_hh1_q, w_hh1_s=w_hh1_s,
+            w_ih2x=w_ih2x_q, w_ih2x_s=w_ih2x_s,
+            w_hh2=w_hh2_q, w_hh2_s=w_hh2_s,
+        )
+    else:
+        gate_entries = dict(
+            w_hh1=bf(w.gru1_w_hh),
+            w_ih2x=bf(w.gru2_w_ih[:H]),
+            w_hh2=bf(w.gru2_w_hh),
+        )
+
     return dict(
+        **gate_entries,
         w_x=f32(w.I_w[0])[None],                               # (1, H)
         w_Im=bf(pad_rows(w.I_w[1:], 0, LANE)),                 # (LANE, H)
         b_I=f32(w.I_b)[None],
         u1=u1, w_Im1=bf(w_Im1),
-        w_hh1=bf(w.gru1_w_hh),
         b1=b1, b_hh1_n=b_hh1_n,
-        w_ih2x=bf(w.gru2_w_ih[:H]),
-        w_hh2=bf(w.gru2_w_hh), b2=b2, b_hh2_n=b_hh2_n,
+        b2=b2, b_hh2_n=b_hh2_n,
         w_fc1x=bf(w.fc1_w[:H]),
         b_fc1=f32(w.fc1_b)[None],
         w_fc2x=bf(w.fc2_w[:F]),
@@ -467,21 +507,26 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int):
     )
 
 
-_WEIGHT_ORDER = [
-    "w_x", "w_Im", "b_I",
-    "u1", "w_Im1", "w_hh1", "b1", "b_hh1_n",
-    "w_ih2x", "w_hh2", "b2", "b_hh2_n",
-    "w_fc1x", "b_fc1",
-    "w_fc2x", "b_fc2",
-    "w_aux",
-    "w_fc3", "b_fc3",
-]
+def _weight_order(int8_gates: bool):
+    order = [
+        "w_x", "w_Im", "b_I",
+        "u1", "w_Im1", "w_hh1", "b1", "b_hh1_n",
+        "w_ih2x", "w_hh2", "b2", "b_hh2_n",
+        "w_fc1x", "b_fc1",
+        "w_fc2x", "b_fc2",
+        "w_aux",
+        "w_fc3", "b_fc3",
+    ]
+    if int8_gates:
+        order += ["w_hh1_s", "w_ih2x_s", "w_hh2_s"]
+    return order
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
-                     "b_tile", "chunk", "unroll", "ablate", "out_T"),
+                     "b_tile", "chunk", "unroll", "ablate", "out_T",
+                     "int8_gates"),
 )
 def decode(
     weights: DecodeWeights,
@@ -498,6 +543,7 @@ def decode(
     ablate: frozenset = frozenset(),
     cond: jnp.ndarray = None,   # prebuilt (T_pad, B_pad, SEG) bf16 stream
     out_T: int = None,          # real step count when cond is prebuilt
+    int8_gates: bool = False,   # int8 GRU gate weights (see pack_weights)
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -536,7 +582,8 @@ def decode(
 
     n_out = weights.fc3_w.shape[1]
     n_out_pad = _round_up(n_out, LANE)
-    packed = pack_weights(weights, feat, aux_d, n_out_pad)
+    packed = pack_weights(weights, feat, aux_d, n_out_pad,
+                          int8_gates=int8_gates)
 
     seed = jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
 
@@ -544,10 +591,12 @@ def decode(
         _decode_kernel,
         T=T_pad, mode=mode, n_classes=n_classes, deterministic=deterministic,
         chunk=chunk, unroll=unroll, ablate=ablate,
+        int8_gates=int8_gates,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
-    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _WEIGHT_ORDER]
+    order = _weight_order(int8_gates)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in order]
 
     out = pl.pallas_call(
         kernel,
@@ -576,7 +625,7 @@ def decode(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seed, cond, *[packed[k] for k in _WEIGHT_ORDER])
+    )(seed, cond, *[packed[k] for k in order])
 
     if time_major_out:
         L_pad = _round_up(kernel_B, LANE)
