@@ -62,7 +62,7 @@ def main():
     # device throughput — the fastest pass is the least-contaminated sample.
     staged = [gen.prestage(m, batched=True, target=target, overlap=overlap)
               for m in mels]
-    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    passes = int(os.environ.get("BENCH_PASSES", "5"))
     khz = 0.0
     for p in range(passes):
         t0 = time.time()
