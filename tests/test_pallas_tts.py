@@ -191,3 +191,29 @@ def test_kernel_long_text_and_high_r():
     mels_f = np.swapaxes(mels_f, 1, 2)
     np.testing.assert_allclose(mels_k, mels_f, atol=2e-4)
     np.testing.assert_allclose(scores_k[:, :L], scores_f, atol=2e-5)
+
+
+def test_kernel_int8_lstm_close(setup):
+    """int8 LSTM weights (per-column scales + dynamic per-row activation
+    quant) stay close to the f32 rollout."""
+    cfg, model, variables, x, enc, encp = setup
+    n_steps = 8
+    mels_f, scores_f = _flax_rollout(
+        cfg, model, variables, x, enc, encp, 2, n_steps)
+    L = x.shape[1]
+    L_pad = attn_pad_len(L)
+    w = extract_tts_decode_weights(variables["params"])
+    packed = pack_tts_weights(w, 2, cfg.n_mels, dtype=jnp.float32,
+                              int8_lstm=True)
+    enc_pad = jnp.pad(enc[0], ((0, L_pad - L), (0, 0)))
+    encp_T = jnp.pad(encp[0].T, ((0, 0), (0, L_pad - L)))
+    state = init_tts_decode_state(cfg.decoder_dims, cfg.lstm_dims, L_pad)
+    mels_k, scores_k, _, _ = tts_decode_chunk(
+        packed, enc_pad, encp_T, state, n_steps, 2, cfg.n_mels, L,
+        interpret=True, int8_lstm=True,
+    )
+    mels_k = np.asarray(mels_k).reshape(n_steps, 2, LANE)[:, :, : cfg.n_mels]
+    mels_f = np.swapaxes(mels_f, 1, 2)
+    assert np.isfinite(mels_k).all()
+    assert np.abs(mels_k - mels_f).mean() < 0.05
+    assert np.abs(np.asarray(scores_k)[:, :L] - scores_f).max() < 0.1

@@ -77,8 +77,12 @@ def main():
 
     out = {}
     rates = {}
-    for backend in ("xla", "pallas"):
-        gen = TTSGenerator(cfg, variables, steps=steps, backend=backend)
+    variants = [("xla", {}), ("pallas", {})]
+    if "--int8" in sys.argv:
+        variants.append(("pallas_int8", {"int8_lstm": True}))
+    for backend, kw in variants:
+        gen = TTSGenerator(cfg, variables, steps=steps,
+                           backend=kw and "pallas" or backend, **kw)
         mel, linear, attn = gen(seq, r=2)           # compile+run
         best = float("inf")
         for _ in range(3):                          # shed relay stalls
@@ -109,6 +113,17 @@ def main():
         "frames_per_s_xla": float(rates["xla"]),
         "frames_per_s_pallas": float(rates["pallas"]),
     }
+    if "pallas_int8" in out:
+        mel_q = out["pallas_int8"][0]
+        nq = min(mel_q.shape[1], mel_x.shape[1])
+        result["mel_mean_abs_diff_int8"] = float(
+            np.abs(mel_q[:, :nq] - mel_x[:, :nq]).mean())
+        result["mel_max_abs_diff_int8"] = float(
+            np.abs(mel_q[:, :nq] - mel_x[:, :nq]).max())
+        na_q = min(out["pallas_int8"][2].shape[0], attn_x.shape[0])
+        result["attn_max_abs_diff_int8"] = float(np.abs(
+            out["pallas_int8"][2][:na_q] - out["xla"][2][:na_q]).max())
+        result["frames_per_s_pallas_int8"] = float(rates["pallas_int8"])
     if final_loss is not None:
         result["train_steps"] = train_steps
         result["final_train_loss"] = final_loss

@@ -29,7 +29,8 @@ class TTSGenerator:
     """Jitted text → (mel, linear, attention) generator."""
 
     def __init__(self, cfg: TacotronConfig, variables, steps: int = 2000,
-                 text_bucket: int = 32, backend: str = "auto"):
+                 text_bucket: int = 32, backend: str = "auto",
+                 int8_lstm: bool = False):
         self.cfg = cfg
         self.variables = variables
         self.model = Tacotron(cfg)
@@ -44,7 +45,8 @@ class TTSGenerator:
             )
         self.backend = backend
         self._run_pallas = (
-            _make_pallas_run(cfg, self.model) if backend == "pallas" else None
+            _make_pallas_run(cfg, self.model, int8_lstm)
+            if backend == "pallas" else None
         )
 
         @partial(jax.jit, static_argnames=("r", "steps"))
@@ -196,7 +198,8 @@ class TTSGenerator:
         return out
 
 
-def _make_pallas_run(cfg: TacotronConfig, model: Tacotron):
+def _make_pallas_run(cfg: TacotronConfig, model: Tacotron,
+                     int8_lstm: bool = False):
     """Jitted single-utterance decode over the fused Pallas decoder kernel
     (ops/pallas_tts.py).  Same early-exit while_loop structure as the XLA
     path; each trip launches one CHUNK-step kernel."""
@@ -224,7 +227,7 @@ def _make_pallas_run(cfg: TacotronConfig, model: Tacotron):
         enc_pad = jnp.pad(enc[0], ((0, L_pad - L), (0, 0)))
         encp_T = jnp.pad(encp[0].T, ((0, 0), (0, L_pad - L)))
         w = extract_tts_decode_weights(variables["params"])
-        packed = pack_tts_weights(w, r, cfg.n_mels)
+        packed = pack_tts_weights(w, r, cfg.n_mels, int8_lstm=int8_lstm)
         state0 = init_tts_decode_state(cfg.decoder_dims, cfg.lstm_dims, L_pad)
 
         mels_buf = jnp.zeros((n_iters, r * LANE))
@@ -238,7 +241,8 @@ def _make_pallas_run(cfg: TacotronConfig, model: Tacotron):
         def trip_body(st):
             c, state, done, (mb, sb, db) = st
             mels_c, scores_c, stop_c, state = tts_decode_chunk(
-                packed, enc_pad, encp_T, state, CHUNK, r, cfg.n_mels, L
+                packed, enc_pad, encp_T, state, CHUNK, r, cfg.n_mels, L,
+                int8_lstm=int8_lstm,
             )
             ts = c * CHUNK + jnp.arange(CHUNK)
             raw = (stop_c < cfg.stop_threshold) & (ts * r > 10)

@@ -123,15 +123,30 @@ XT_ROWS = 64
 
 
 def pack_tts_weights(w: TTSDecodeWeights, r: int, n_mels: int,
-                     dtype=jnp.bfloat16):
+                     dtype=jnp.bfloat16, int8_lstm: bool = False):
     """Split/pad the decoder weights into the kernel's aligned layout.
 
     Matmul weights go to ``dtype`` (bf16 default: VMEM residency, ~10 MB
     total), biases and small vectors stay f32 — the same precision scheme
     as the WaveRNN decode kernel (ops/pallas_decode.py), validated there to
-    be distribution-level exact."""
+    be distribution-level exact.
+
+    ``int8_lstm`` stores the four residual-LSTM matrices (8.4 of the 10 MB
+    per step) as int8 with per-column symmetric scales, activations
+    dynamically quantized per row in-kernel (same scheme as the WaveRNN
+    kernel's int8_gates).  Measured on v5e: a FIDELITY knob, not a speed
+    knob — trained-weights mel delta vs the f32 scan drops 0.0073 -> 0.0042
+    (per-column scales + f32 accumulation out-resolve bf16), at ~10% step
+    cost (3.12 -> 3.43 us; at B=1 the serial quantization chain outweighs
+    the byte savings, unlike the 64-row WaveRNN kernel).  Default off."""
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     bf = lambda a: jnp.asarray(a, dtype)
+
+    def q8(mat):
+        mat = f32(mat)
+        m = jnp.max(jnp.abs(mat), axis=0, keepdims=True)
+        s = jnp.where(m > 0, m, 1.0) / 127.0
+        return jnp.round(mat / s).astype(jnp.int8), s
     D = w.attn_w_hh.shape[0]          # decoder_dims
     Dh = w.prenet_fc2_w.shape[1]      # D // 2 (prenet output)
     H = w.lstm1_w_hh.shape[0]         # lstm_dims
@@ -166,8 +181,24 @@ def pack_tts_weights(w: TTSDecodeWeights, r: int, n_mels: int,
     mel = jnp.pad(mel, ((0, 0), (0, 0), (0, LANE - n_mels)))
     mel = mel.reshape(H, r * LANE)
 
+    if int8_lstm:
+        l1_ih, l1_ih_s = q8(w.lstm1_w_ih)
+        l1_hh, l1_hh_s = q8(w.lstm1_w_hh)
+        l2_ih, l2_ih_s = q8(w.lstm2_w_ih)
+        l2_hh, l2_hh_s = q8(w.lstm2_w_hh)
+        lstm_entries = dict(
+            l1_ih=l1_ih, l1_ih_s=l1_ih_s, l1_hh=l1_hh, l1_hh_s=l1_hh_s,
+            l2_ih=l2_ih, l2_ih_s=l2_ih_s, l2_hh=l2_hh, l2_hh_s=l2_hh_s,
+        )
+    else:
+        lstm_entries = dict(
+            l1_ih=bf(w.lstm1_w_ih), l1_hh=bf(w.lstm1_w_hh),
+            l2_ih=bf(w.lstm2_w_ih), l2_hh=bf(w.lstm2_w_hh),
+        )
+
     n_mels_pad = _round_up(n_mels, LANE)
     return dict(
+        **lstm_entries,
         p1_w=bf(pad_rows(w.prenet_fc1_w, n_mels_pad)),   # (128, D)
         p1_b=f32(w.prenet_fc1_b)[None],
         p2_w=bf(w.prenet_fc2_w),                         # (D, Dh)
@@ -183,54 +214,61 @@ def pack_tts_weights(w: TTSDecodeWeights, r: int, n_mels: int,
         ri_c=bf(w.rnn_in_w[:D]),                         # (D, H)
         ri_h=bf(w.rnn_in_w[D:]),                         # (D, H)
         ri_b=f32(w.rnn_in_b)[None],
-        l1_ih=bf(w.lstm1_w_ih), l1_hh=bf(w.lstm1_w_hh),
         l1_b=f32(w.lstm1_b_ih + w.lstm1_b_hh)[None],
-        l2_ih=bf(w.lstm2_w_ih), l2_hh=bf(w.lstm2_w_hh),
         l2_b=f32(w.lstm2_b_ih + w.lstm2_b_hh)[None],
         mel_w=bf(mel),                                   # (H, r*LANE)
     )
 
 
-_TTS_WEIGHT_ORDER = [
-    "p1_w", "p1_b", "p2_w", "p2_b",
-    "wih_c", "wih_p", "whh", "b_attn", "b_attn_hn",
-    "M_loc", "b_q_col", "W_qT", "v_row",
-    "ri_c", "ri_h", "ri_b",
-    "l1_ih", "l1_hh", "l1_b", "l2_ih", "l2_hh", "l2_b",
-    "mel_w",
-]
+def _tts_weight_order(int8_lstm: bool):
+    order = [
+        "p1_w", "p1_b", "p2_w", "p2_b",
+        "wih_c", "wih_p", "whh", "b_attn", "b_attn_hn",
+        "M_loc", "b_q_col", "W_qT", "v_row",
+        "ri_c", "ri_h", "ri_b",
+        "l1_ih", "l1_hh", "l1_b", "l2_ih", "l2_hh", "l2_b",
+        "mel_w",
+    ]
+    if int8_lstm:
+        order += ["l1_ih_s", "l1_hh_s", "l2_ih_s", "l2_hh_s"]
+    return order
 
 
 def _tts_decode_kernel(
-    # weights (VMEM)
-    p1_w, p1_b, p2_w, p2_b,
-    wih_c, wih_p, whh, b_attn, b_attn_hn,
-    M_loc, b_q_col, W_qT, v_row,
-    ri_c, ri_h, ri_b,
-    l1_ih, l1_hh, l1_b, l2_ih, l2_hh, l2_b,
-    mel_w,
-    # encoder context (VMEM)
-    enc,            # (L_pad, D) f32, zero rows beyond L
-    encp_T,         # (D, L_pad) f32 — encoder projection, transposed
-    # carried state in (VMEM)
-    prev_mel_in,    # (1, LANE) f32 (n_mels real lanes)
-    h_attn_in,      # (1, D)
-    h1_in, c1_in, h2_in, c2_in,   # (1, H)
-    ctx_in,         # (1, D)
-    cum_in, prv_in,  # (1, L_pad)
-    # outputs
-    mels_out,       # (N, r*LANE) f32
-    scores_out,     # (N, L_pad) f32
-    stop_out,       # (N, LANE) f32 — max real mel value this step (bcast)
-    prev_mel_o, h_attn_o, h1_o, c1_o, h2_o, c2_o, ctx_o, cum_o, prv_o,
-    # scratch
-    xt_ref,         # (XT_ROWS, L_pad) f32 — rolled attention window matrix
-    *,
+    # args: the packed weights in _tts_weight_order (int8_lstm appends the
+    # four LSTM scale rows), then encoder context, carried state, outputs
+    # and scratch — see tts_decode_chunk for the exact shapes
+    *rest,
     n_steps: int,
     r: int,
     n_mels: int,
     mask_L: int,    # attended text length (scores masked beyond it)
+    int8_lstm: bool = False,
 ):
+    names = _tts_weight_order(int8_lstm)
+    ws = dict(zip(names, rest))
+    (enc,            # (L_pad, D) f32, zero rows beyond L
+     encp_T,         # (D, L_pad) f32 — encoder projection, transposed
+     prev_mel_in,    # (1, LANE) f32 (n_mels real lanes)
+     h_attn_in,      # (1, D)
+     h1_in, c1_in, h2_in, c2_in,   # (1, H)
+     ctx_in,         # (1, D)
+     cum_in, prv_in,  # (1, L_pad)
+     mels_out,       # (N, r*LANE) f32
+     scores_out,     # (N, L_pad) f32
+     stop_out,       # (N, LANE) f32 — max real mel value this step (bcast)
+     prev_mel_o, h_attn_o, h1_o, c1_o, h2_o, c2_o, ctx_o, cum_o, prv_o,
+     xt_ref,         # (XT_ROWS, L_pad) f32 — rolled attention window matrix
+     ) = rest[len(names):]
+    p1_w, p1_b, p2_w, p2_b = ws["p1_w"], ws["p1_b"], ws["p2_w"], ws["p2_b"]
+    wih_c, wih_p, whh = ws["wih_c"], ws["wih_p"], ws["whh"]
+    b_attn, b_attn_hn = ws["b_attn"], ws["b_attn_hn"]
+    M_loc, b_q_col, W_qT, v_row = (ws["M_loc"], ws["b_q_col"], ws["W_qT"],
+                                   ws["v_row"])
+    ri_c, ri_h, ri_b = ws["ri_c"], ws["ri_h"], ws["ri_b"]
+    l1_ih, l1_hh, l1_b = ws["l1_ih"], ws["l1_hh"], ws["l1_b"]
+    l2_ih, l2_hh, l2_b = ws["l2_ih"], ws["l2_hh"], ws["l2_b"]
+    mel_w = ws["mel_w"]
     D = h_attn_in.shape[1]
     H = h1_in.shape[1]
     L_pad = cum_in.shape[1]
@@ -240,6 +278,19 @@ def _tts_decode_kernel(
 
     def dot(a, b):
         return jnp.dot(bf(a), b, preferred_element_type=jnp.float32)
+
+    def ldot(a, wq, scale_name):
+        """LSTM matmul: ``wdt``, or int8 weights + per-row dynamic
+        activation quantization (same scheme as pallas_decode.gdot)."""
+        if not int8_lstm:
+            return jnp.dot(bf(a), wq[...], preferred_element_type=jnp.float32)
+        sa = jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True),
+                         1e-8) * (1.0 / 127.0)
+        qa = jnp.round(a / sa).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qa, wq[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sa * ws[scale_name][...])
 
     xt_ref[...] = jnp.zeros_like(xt_ref)
 
@@ -293,8 +344,8 @@ def _tts_decode_kernel(
         # ---- residual LSTMs (ref tacotron.py:260-272)
         x = dot(context, ri_c[...]) + dot(h_attn, ri_h[...]) + ri_b[...]
 
-        def lstm(x, h, c, w_ih, w_hh, b):
-            g = dot(x, w_ih[...]) + dot(h, w_hh[...]) + b[...]
+        def lstm(x, h, c, w_ih, w_hh, b, ih_s, hh_s):
+            g = ldot(x, w_ih, ih_s) + ldot(h, w_hh, hh_s) + b[...]
             i_g = jax.nn.sigmoid(g[:, :H])
             f_g = jax.nn.sigmoid(g[:, H:2 * H])
             g_g = jnp.tanh(g[:, 2 * H:3 * H])
@@ -302,9 +353,9 @@ def _tts_decode_kernel(
             c = f_g * c + i_g * g_g
             return o_g * jnp.tanh(c), c
 
-        h1, c1 = lstm(x, h1, c1, l1_ih, l1_hh, l1_b)
+        h1, c1 = lstm(x, h1, c1, l1_ih, l1_hh, l1_b, "l1_ih_s", "l1_hh_s")
         x = x + h1
-        h2, c2 = lstm(x, h2, c2, l2_ih, l2_hh, l2_b)
+        h2, c2 = lstm(x, h2, c2, l2_ih, l2_hh, l2_b, "l2_ih_s", "l2_hh_s")
         x = x + h2
 
         # ---- mel projection: frame j in lanes [j*LANE, j*LANE + n_mels)
@@ -370,7 +421,8 @@ _STATE_FIELDS = list(TTSDecodeState.__dataclass_fields__)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "r", "n_mels", "mask_L", "interpret"),
+    static_argnames=("n_steps", "r", "n_mels", "mask_L", "interpret",
+                     "int8_lstm"),
 )
 def tts_decode_chunk(
     packed: dict,
@@ -382,6 +434,7 @@ def tts_decode_chunk(
     n_mels: int,
     mask_L: int,
     interpret: bool = False,
+    int8_lstm: bool = False,
 ):
     """Run ``n_steps`` fused decoder steps.  Returns
     (mels (n_steps, r*LANE), scores (n_steps, L_pad),
@@ -395,9 +448,11 @@ def tts_decode_chunk(
     kernel = functools.partial(
         _tts_decode_kernel,
         n_steps=n_steps, r=r, n_mels=n_mels, mask_L=mask_L,
+        int8_lstm=int8_lstm,
     )
 
-    n_in = len(_TTS_WEIGHT_ORDER) + 2 + len(_STATE_FIELDS)
+    order = _tts_weight_order(int8_lstm)
+    n_in = len(order) + 2 + len(_STATE_FIELDS)
     out_shapes = (
         jax.ShapeDtypeStruct((n_steps, r * LANE), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, L_pad), jnp.float32),
@@ -426,7 +481,7 @@ def tts_decode_chunk(
         ),
         interpret=interpret,
     )(
-        *[packed[k] for k in _TTS_WEIGHT_ORDER],
+        *[packed[k] for k in order],
         enc, encp_T,
         *[getattr(state, f) for f in _STATE_FIELDS],
     )
