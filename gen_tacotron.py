@@ -43,6 +43,10 @@ def main():
     parser.add_argument("--save_attention", "-a", dest="save_attn", action="store_true",
                         help="save attention plots")
     parser.add_argument("--force_cpu", "-c", action="store_true", help="force CPU-only generation")
+    parser.add_argument("--tts_backend", choices=["auto", "xla", "pallas"],
+                        default="auto",
+                        help="decoder backend: fused Pallas kernel (TPU, "
+                             "B=1 latency path) or the XLA scan")
     parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",
                         help="the file to use for the hyperparameters")
     parser.set_defaults(input_text=None)
@@ -127,7 +131,7 @@ def main():
         ])
 
     tts_variables = {"params": tts_state.params, "batch_stats": tts_state.batch_stats}
-    tts_gen = TTSGenerator(tts_cfg, tts_variables)
+    tts_gen = TTSGenerator(tts_cfg, tts_variables, backend=args.tts_backend)
 
     for i, x in enumerate(inputs, 1):
         print(f"\n| Generating {i}/{len(inputs)}")

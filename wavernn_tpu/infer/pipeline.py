@@ -33,10 +33,12 @@ class TTSPipeline:
     def __init__(self, tts_cfg: TacotronConfig, tts_variables,
                  voc_cfg: WaveRNNConfig, voc_variables,
                  cleaner_names: Sequence[str], r: int,
-                 backend: str = "scan", tts_steps: int = 2000):
+                 backend: str = "scan", tts_steps: int = 2000,
+                 tts_backend: str = "auto"):
         self.r = r
         self.cleaners = list(cleaner_names)
-        self.tts = TTSGenerator(tts_cfg, tts_variables, steps=tts_steps)
+        self.tts = TTSGenerator(tts_cfg, tts_variables, steps=tts_steps,
+                                backend=tts_backend)
         self.voc = Generator(voc_cfg, voc_variables, backend=backend,
                              fold_bucket=16)
 

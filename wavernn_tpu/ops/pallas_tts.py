@@ -306,6 +306,8 @@ def _tts_decode_kernel(
         # ---- prenet (eval mode: no dropout; ref tacotron.py:135-149)
         p1 = jax.nn.relu(dot(prev_mel, p1_w[...]) + p1_b[...])
         p2 = jax.nn.relu(dot(p1, p2_w[...]) + p2_b[...])
+        if p2.shape[1] < wih_p.shape[0]:   # small-config prenet: lane-pad
+            p2 = jnp.pad(p2, ((0, 0), (0, wih_p.shape[0] - p2.shape[1])))
 
         # ---- attention GRU (torch gate convention, b_attn packs
         #      b_ih+b_hh for r/z and b_ih for n)
