@@ -241,12 +241,12 @@ def _decode_kernel(
             xr = xr + h2
 
             f1 = jax.nn.relu(
-                jnp.dot(bf(xr), w_fc1x[...], preferred_element_type=jnp.float32)
+                gdot(xr, w_fc1x, "w_fc1x_s")
                 + aux_all[:, H3: H3 + F]
                 + b_fc1[...]
             )
             f2 = jax.nn.relu(
-                jnp.dot(bf(f1), w_fc2x[...], preferred_element_type=jnp.float32)
+                gdot(f1, w_fc2x, "w_fc2x_s")
                 + aux_all[:, H3 + F:]
                 + b_fc2[...]
             )
@@ -425,7 +425,8 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
     """Split/pad the decode weights into the kernel's aligned layout.
 
     ``int8_gates`` stores the three big GRU matrices (w_hh1, gru2's w_ih,
-    w_hh2 — ~65% of the per-step weight bytes) as int8 with per-column
+    w_hh2) and the two FC head matrices (~80% of the per-step weight
+    bytes) as int8 with per-column
     symmetric scales: the kernel is weight-streaming bound, so halving
     those bytes moves the matmul floor (activations are dynamically
     quantized per row in-kernel; gate math stays f32)."""
@@ -472,16 +473,22 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
         w_hh1_q, w_hh1_s = q8(w.gru1_w_hh)
         w_ih2x_q, w_ih2x_s = q8(w.gru2_w_ih[:H])
         w_hh2_q, w_hh2_s = q8(w.gru2_w_hh)
+        w_fc1x_q, w_fc1x_s = q8(w.fc1_w[:H])
+        w_fc2x_q, w_fc2x_s = q8(w.fc2_w[:F])
         gate_entries = dict(
             w_hh1=w_hh1_q, w_hh1_s=w_hh1_s,
             w_ih2x=w_ih2x_q, w_ih2x_s=w_ih2x_s,
             w_hh2=w_hh2_q, w_hh2_s=w_hh2_s,
+            w_fc1x=w_fc1x_q, w_fc1x_s=w_fc1x_s,
+            w_fc2x=w_fc2x_q, w_fc2x_s=w_fc2x_s,
         )
     else:
         gate_entries = dict(
             w_hh1=bf(w.gru1_w_hh),
             w_ih2x=bf(w.gru2_w_ih[:H]),
             w_hh2=bf(w.gru2_w_hh),
+            w_fc1x=bf(w.fc1_w[:H]),
+            w_fc2x=bf(w.fc2_w[:F]),
         )
 
     return dict(
@@ -492,9 +499,7 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
         u1=u1, w_Im1=bf(w_Im1),
         b1=b1, b_hh1_n=b_hh1_n,
         b2=b2, b_hh2_n=b_hh2_n,
-        w_fc1x=bf(w.fc1_w[:H]),
         b_fc1=f32(w.fc1_b)[None],
-        w_fc2x=bf(w.fc2_w[:F]),
         b_fc2=f32(w.fc2_b)[None],
         # fused aux projection: seg1 = [a2|a3|a4|0] rows; columns are
         # [gru2 gates (3H) | fc1 (F) | fc2 (F)]
@@ -518,7 +523,7 @@ def _weight_order(int8_gates: bool):
         "w_fc3", "b_fc3",
     ]
     if int8_gates:
-        order += ["w_hh1_s", "w_ih2x_s", "w_hh2_s"]
+        order += ["w_hh1_s", "w_ih2x_s", "w_hh2_s", "w_fc1x_s", "w_fc2x_s"]
     return order
 
 
