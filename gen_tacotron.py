@@ -47,6 +47,9 @@ def main():
                         default="auto",
                         help="decoder backend: fused Pallas kernel (TPU, "
                              "B=1 latency path) or the XLA scan")
+    parser.add_argument("--no_int8", action="store_true",
+                        help="disable int8 weight streaming in the pallas "
+                             "vocoder kernel (pure bf16 weights)")
     parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",
                         help="the file to use for the hyperparameters")
     parser.set_defaults(input_text=None)
@@ -68,7 +71,8 @@ def main():
     args = parser.parse_args()
     args.vocoder = "griffinlim" if args.vocoder in ("griffinlim", "gl") else "wavernn"
 
-    hp.configure(args.hp_file)
+    overrides = {"gen_int8": False} if args.no_int8 else {}
+    hp.configure(args.hp_file, **overrides)
     if args.vocoder == "wavernn":
         if args.target is None:
             args.target = hp.voc_target

@@ -42,12 +42,20 @@ def main():
     parser.add_argument("--eval", dest="eval_mcd", action="store_true",
                         help="report copy-synthesis MCD over the test set")
     parser.add_argument("--force_cpu", "-c", action="store_true", help="force CPU-only generation")
+    parser.add_argument("--mesh", "-m", action="store_true",
+                        help="shard batched decode's fold axis over all "
+                             "devices (multi-chip sequence-parallel "
+                             "generation; uses hp.mesh_shape when set)")
+    parser.add_argument("--no_int8", action="store_true",
+                        help="disable int8 weight streaming in the pallas decode "
+                             "kernel (pure bf16 weights)")
     parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",
                         help="the file to use for the hyperparameters")
     parser.set_defaults(batched=None)
     args = parser.parse_args()
 
-    hp.configure(args.hp_file)
+    overrides = {"gen_int8": False} if args.no_int8 else {}
+    hp.configure(args.hp_file, **overrides)
     if args.target is None:
         args.target = hp.voc_target
     if args.overlap is None:
@@ -60,6 +68,14 @@ def main():
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
     print("Using device:", jax.devices()[0])
+
+    mesh = None
+    if args.mesh:
+        from wavernn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(hp.mesh_shape)
+        print(f"Decode mesh: data={mesh.n_data} model={mesh.n_model} "
+              f"({len(jax.devices())} devices)")
 
     print("\nInitialising Model...\n")
     cfg = WaveRNNConfig.from_hp(hp)
@@ -78,7 +94,7 @@ def main():
     if args.file:
         file = Path(args.file).expanduser()
         gen_from_file(cfg, state, file, paths.voc_output, args.batched,
-                      args.target, args.overlap)
+                      args.target, args.overlap, mesh=mesh)
     elif args.eval_mcd:
         from wavernn_tpu.infer.eval import eval_testset_mcd
 
@@ -88,7 +104,7 @@ def main():
     else:
         _, test_set = get_vocoder_datasets(paths.data, 1, args.gta)
         gen_testset(cfg, state, test_set, args.samples, args.batched,
-                    args.target, args.overlap, paths.voc_output)
+                    args.target, args.overlap, paths.voc_output, mesh=mesh)
 
     print("\n\nExiting...\n")
 

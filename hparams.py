@@ -95,3 +95,6 @@ tts_checkpoint_every = 2_000
 
 mesh_shape = None                        # e.g. {"data": 4, "model": 2}; None = all-data
 gen_use_pallas = True                    # fused Pallas decode kernel when on TPU
+gen_int8 = True                          # int8 GRU/FC weight streaming in the kernel
+                                         # (measured faster + quality-gated; set False
+                                         # or pass --no_int8 for pure-bf16 weights)

@@ -1,15 +1,15 @@
-"""Stochastic-path validation of the Pallas decode kernel (TPU only).
+"""Stochastic-path validation of the Pallas decode kernel (TPU tier).
 
 The kernel's PRNG (`pltpu.prng_seed`/`prng_random_bits`) has no CPU
 interpret implementation, so these tests run the sampling-statistics tool
 in a subprocess on the real TPU platform and assert the kernel's empirical
 sampling distributions sit at the noise floor next to the scan decoder and
 the analytic ground truth (ref sampling semantics:
-models/fatchord_version.py:226-237).  Skipped when no TPU is attached.
+models/fatchord_version.py:226-237).  Run with ``pytest -m tpu``; the
+device probe happens at test time via the ``tpu_env`` fixture.
 """
 
 import json
-import os
 import subprocess
 import sys
 from pathlib import Path
@@ -19,27 +19,11 @@ import pytest
 REPO = Path(__file__).parent.parent
 
 
-def _tpu_available() -> bool:
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    probe = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; print(jax.devices()[0].platform)"],
-        env=env, capture_output=True, text=True, timeout=300,
-    )
-    return probe.returncode == 0 and probe.stdout.strip() == "tpu"
-
-
-tpu_only = pytest.mark.skipif(
-    not _tpu_available(), reason="requires a real TPU (kernel PRNG)"
-)
-
-
-@tpu_only
-def test_kernel_sampling_statistics():
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+@pytest.mark.tpu
+def test_kernel_sampling_statistics(tpu_env):
     proc = subprocess.run(
         [sys.executable, str(REPO / "tools" / "kernel_sampling_stats.py")],
-        env=env, capture_output=True, text=True, timeout=1200, cwd=REPO,
+        env=tpu_env, capture_output=True, text=True, timeout=1200, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     stats = json.loads(proc.stdout.strip().splitlines()[-1])

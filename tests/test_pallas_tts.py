@@ -7,7 +7,6 @@ off-TPU).
 """
 
 import json
-import os
 import subprocess
 import sys
 from pathlib import Path
@@ -137,25 +136,14 @@ def test_kernel_bf16_close(setup):
     assert np.abs(scores_k[:, : x.shape[1]] - scores_f).max() < 0.1
 
 
-def _tpu_available() -> bool:
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    probe = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; print(jax.devices()[0].platform)"],
-        env=env, capture_output=True, text=True, timeout=300,
-    )
-    return probe.returncode == 0 and probe.stdout.strip() == "tpu"
-
-
-@pytest.mark.skipif(not _tpu_available(), reason="requires a real TPU")
-def test_tpu_backend_parity():
+@pytest.mark.tpu
+def test_tpu_backend_parity(tpu_env):
     """Full TTSGenerator: pallas backend tracks the xla backend on TPU
     (bf16 VMEM weights vs f32 scan — distributional closeness on an
-    untrained net over a 400-step free run)."""
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    untrained net over a 400-step free run).  TPU tier: ``pytest -m tpu``."""
     proc = subprocess.run(
         [sys.executable, str(REPO / "tools" / "tts_kernel_parity.py")],
-        env=env, capture_output=True, text=True, timeout=1800, cwd=REPO,
+        env=tpu_env, capture_output=True, text=True, timeout=1800, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     stats = json.loads(proc.stdout.strip().splitlines()[-1])

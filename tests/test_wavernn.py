@@ -221,7 +221,7 @@ def test_chunk_unchunk_roundtrip():
         np.testing.assert_array_equal(y4[:, 0, :w], 0.0)
         for j in range(1, k):
             np.testing.assert_array_equal(
-                y4[:, j, :w], y4[:, j - 1, (24 // k):][:, :w] if False else
+                y4[:, j, :w],
                 np.asarray(t).reshape(3, k, 24 // k, 5)[:, j - 1, (24 // k) - w:])
 
 

@@ -43,6 +43,15 @@ class TTSGenerator:
                     and cfg.attn_mode == "lsa")
                 else "xla"
             )
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown TTS decode backend {backend!r}; "
+                             "expected 'auto', 'xla', or 'pallas'")
+        if backend == "pallas" and cfg.attn_mode != "lsa":
+            raise ValueError(
+                "the pallas decode backend implements location-sensitive "
+                f"attention only (attn_mode='lsa'); got attn_mode="
+                f"{cfg.attn_mode!r} — use backend='xla' for additive attention"
+            )
         self.backend = backend
         self._run_pallas = (
             _make_pallas_run(cfg, self.model, int8_lstm)

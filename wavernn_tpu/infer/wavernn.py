@@ -22,20 +22,28 @@ from wavernn_tpu.utils.display import progbar, stream
 _GENERATOR_CACHE = {}
 
 
-def make_generator(cfg: WaveRNNConfig, state, backend: str = None) -> Generator:
+def make_generator(cfg: WaveRNNConfig, state, backend: str = None,
+                   int8_gates: bool = None, mesh=None) -> Generator:
     """Build (or reuse) a Generator for this config.  Cached per
-    (cfg, backend) so checkpoint-time auditions reuse compiled programs —
-    fresh variables are swapped in as program inputs."""
+    (cfg, backend, int8, mesh) so checkpoint-time auditions reuse compiled
+    programs — fresh variables are swapped in as program inputs.
+
+    ``mesh``: a parallel.mesh.MeshPlan — batched decode fans the fold axis
+    out over the mesh's 'data' axis (multi-chip sequence-parallel
+    generation)."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if backend is None:
         import jax
 
         on_tpu = jax.devices()[0].platform == "tpu"
         backend = "pallas" if (on_tpu and hp.get("gen_use_pallas", True)) else "scan"
-    key = (cfg, backend)
+    if int8_gates is None:
+        int8_gates = bool(hp.get("gen_int8", True))
+    key = (cfg, backend, int8_gates, id(mesh) if mesh is not None else None)
     gen = _GENERATOR_CACHE.get(key)
     if gen is None:
-        gen = Generator(cfg, variables, backend=backend)
+        gen = Generator(cfg, variables, backend=backend,
+                        int8_gates=int8_gates, mesh=mesh)
         _GENERATOR_CACHE[key] = gen
     else:
         gen.update_variables(variables)
@@ -55,9 +63,9 @@ def _timed_generate(gen: Generator, mel, batched, target, overlap, mu_law,
 
 
 def gen_testset(cfg: WaveRNNConfig, state, test_set, samples: int, batched: bool,
-                target: int, overlap: int, save_path: Path):
+                target: int, overlap: int, save_path: Path, mesh=None):
     """Vocode the first ``samples`` held-out utterances alongside targets."""
-    gen = make_generator(cfg, state)
+    gen = make_generator(cfg, state, mesh=mesh)
     k = state.get_step() // 1000
 
     for i, (m, x) in enumerate(test_set, 1):
@@ -84,7 +92,7 @@ def gen_testset(cfg: WaveRNNConfig, state, test_set, samples: int, batched: bool
 
 
 def gen_from_file(cfg: WaveRNNConfig, state, load_path: Path, save_path: Path,
-                  batched: bool, target: int, overlap: int):
+                  batched: bool, target: int, overlap: int, mesh=None):
     """Copy-synthesis from a .wav (re-vocoded) or .npy mel file."""
     k = state.get_step() // 1000
     load_path = Path(load_path)
@@ -112,7 +120,7 @@ def gen_from_file(cfg: WaveRNNConfig, state, load_path: Path, save_path: Path,
         f"gen_batched_target{target}_overlap{overlap}" if batched
         else "gen_NOT_BATCHED"
     )
-    gen = make_generator(cfg, state)
+    gen = make_generator(cfg, state, mesh=mesh)
     _timed_generate(
         gen, mel, batched, target, overlap, hp.mu_law,
         save_path / f"__{file_name}__{k}k_steps_{batch_str}.wav", cfg.sample_rate,

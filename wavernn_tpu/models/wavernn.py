@@ -43,7 +43,9 @@ class WaveRNNConfig:
     sample_rate: int = 22050
     mode: str = "MOL"  # 'RAW' | 'MOL'
     # optional reduced-precision matmuls for training ('bfloat16'); state and
-    # accumulation stay f32.  None = full f32 (bitwise parity with reference).
+    # accumulation stay f32.  None = full f32, numerically equivalent to the
+    # reference (the split-matmul / time-major rewrites reassociate float
+    # sums, so equality is to fp-reassociation tolerance, not bitwise).
     compute_dtype: str = None
     # Sequence-chunked BPTT (training-time only).  seq_chunks > 1 reshapes
     # each (B, T) window into (B*k, warmup + T/k) rows — the scans run over a

@@ -166,7 +166,8 @@ class Generator:
 
     def __init__(self, cfg: WaveRNNConfig, variables, backend: str = "scan",
                  fold_bucket: int = 4, frame_bucket: int = 32,
-                 int8_gates: bool = True):
+                 int8_gates: bool = True, mesh=None,
+                 deterministic: bool = False):
         self.cfg = cfg
         self.variables = variables
         self.model = WaveRNN(cfg)
@@ -177,6 +178,14 @@ class Generator:
         # measured at -1.4 (inside the +/-5..11 seed spread) by
         # tools/kernel_quality.py; see pallas_decode.pack_weights.
         self.int8_gates = int8_gates
+        # mesh: a parallel.mesh.MeshPlan — batched decode shards the fold
+        # axis over the mesh's 'data' axis (sequence-parallel generation:
+        # folds of one utterance decode on different chips, SURVEY.md §5;
+        # the reference only folds intra-device).  None = single device.
+        self.mesh = mesh
+        # deterministic=True replaces sampling with argmax (RAW) / mixture-
+        # mode (MOL) draws — reproducible decode for tests and debugging.
+        self.deterministic = deterministic
         self.fold_bucket = fold_bucket
         self.frame_bucket = frame_bucket
         self._upsample = jax.jit(
@@ -225,19 +234,14 @@ class Generator:
                 T_pad = _round_up(fold_T, pallas_decode.CHUNK)
                 # fold counts above one kernel tile must land on a tile
                 # boundary (grid grouping); extra folds read zero padding
-                # and are masked out by finalize
-                nfp = (num_folds_padded
-                       if num_folds_padded <= pallas_decode.B_TILE
-                       else _round_up(num_folds_padded, pallas_decode.B_TILE))
+                # and are masked out by finalize.  With a mesh, the PER-CHIP
+                # fold count must be sublane/tile aligned instead.
+                nfp = self._kernel_fold_pad(num_folds_padded)
                 cond = pallas_decode.pack_cond_stream(
                     mels_up, aux_mel, cfg.total_scale, nfp,
                     target, overlap, T_pad,
                 )
-                samples = pallas_decode.decode(
-                    weights, None, None, key, mode=cfg.mode,
-                    n_classes=cfg.n_classes, cond=cond, out_T=fold_T,
-                    int8_gates=self.int8_gates,
-                )
+                samples = self._decode_cond(weights, cond, key, fold_T)
                 return finalize(
                     samples, num_folds, mu_law=mu_law, batched=batched,
                     overlap=overlap, n_classes=cfg.n_classes,
@@ -315,19 +319,15 @@ class Generator:
                     off += need
                     streams.append(s)
                 total = len(starts)
-                total_pad = _round_up(total, self.fold_bucket)
-                if total_pad > pallas_decode.B_TILE:
-                    total_pad = _round_up(total_pad, pallas_decode.B_TILE)
+                total_pad = self._kernel_fold_pad(
+                    _round_up(total, self.fold_bucket))
                 starts += [0] * (total_pad - total)
                 cond = pallas_decode.gather_cond(
                     jnp.concatenate(streams, axis=0),
                     jnp.asarray(starts, jnp.int32), T_pad,
                 )
-                return finalize_each(pallas_decode.decode(
-                    weights, None, None, key, mode=cfg.mode,
-                    n_classes=cfg.n_classes, cond=cond, out_T=fold_T,
-                    int8_gates=self.int8_gates,
-                ))
+                return finalize_each(
+                    self._decode_cond(weights, cond, key, fold_T))
             # scan backend: classic folded arrays
             mels_up_b, aux_b = self.model.apply(
                 variables, batch_mels, False, method=WaveRNN.upsample_only
@@ -341,8 +341,7 @@ class Generator:
                     aux_b[i: i + 1, :real_len], target, overlap))
             mels_f = jnp.concatenate(packed_m, axis=0)
             aux_f = jnp.concatenate(packed_a, axis=0)
-            pad_folds = _round_up(mels_f.shape[0], self.fold_bucket) \
-                - mels_f.shape[0]
+            pad_folds = self._pad_folds(mels_f.shape[0]) - mels_f.shape[0]
             if pad_folds:
                 mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
                 aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
@@ -421,7 +420,7 @@ class Generator:
             self.variables, self.weights, mels_dev,
             jnp.asarray(num_folds, jnp.int32), jax.random.PRNGKey(seed),
             mu_law=mu_law, batched=batched, target=target, overlap=overlap,
-            num_folds_padded=_round_up(num_folds, self.fold_bucket),
+            num_folds_padded=self._pad_folds(num_folds),
         )
         return out_dev, wave_len
 
@@ -544,7 +543,7 @@ class Generator:
         for g0 in range(0, needed_folds, group):
             g1 = min(g0 + group, needed_folds)
             n = g1 - g0
-            n_pad = _round_up(n, self.fold_bucket)
+            n_pad = self._pad_folds(n)
             mf = jnp.pad(mels_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
             af = jnp.pad(aux_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
             samples = np.asarray(self._decode(
@@ -593,16 +592,67 @@ class Generator:
 
     # -- internals -------------------------------------------------------------
 
+    def _pad_folds(self, n: int) -> int:
+        """Static fold-count padding: bucket for program reuse, and (with a
+        mesh) a multiple of the data-axis size so the fold axis shards
+        evenly (pallas shards also need sublane-aligned per-chip widths)."""
+        n = _round_up(n, self.fold_bucket)
+        if self.mesh is not None:
+            per_chip = 8 if self.backend == "pallas" else 1
+            n = _round_up(n, per_chip * self.mesh.n_data)
+        return n
+
+    def _kernel_fold_pad(self, n: int) -> int:
+        """Fold padding for the pallas kernel's conditioning width: the
+        PER-CHIP fold count is sublane-aligned and lands on a grid-tile
+        boundary when it exceeds one kernel tile."""
+        from wavernn_tpu.ops import pallas_decode
+
+        shards = self.mesh.n_data if self.mesh is not None else 1
+        local = _round_up(max(-(-n // shards), 8), 8)
+        if local > pallas_decode.B_TILE:
+            local = _round_up(local, pallas_decode.B_TILE)
+        return local * shards
+
     def _decode(self, weights, mels_f, aux_f, key):
         if self.backend == "pallas":
             from wavernn_tpu.ops import pallas_decode
 
-            return pallas_decode.decode(
-                weights, mels_f, aux_f, key,
+            fn = lambda w, m, a, k: pallas_decode.decode(
+                w, m, a, k,
                 mode=self.cfg.mode, n_classes=self.cfg.n_classes,
                 int8_gates=self.int8_gates,
+                deterministic=self.deterministic,
             )
-        return decode_scan(
-            weights, mels_f, aux_f, key,
-            mode=self.cfg.mode, n_classes=self.cfg.n_classes,
+        else:
+            fn = lambda w, m, a, k: decode_scan(
+                w, m, a, k,
+                mode=self.cfg.mode, n_classes=self.cfg.n_classes,
+                deterministic=self.deterministic,
+            )
+        # shard only when the fold axis tiles the mesh (unbatched B=1
+        # decodes stay single-device)
+        if (self.mesh is not None
+                and mels_f.shape[0] % self.mesh.n_data == 0
+                and mels_f.shape[0] >= self.mesh.n_data):
+            from wavernn_tpu.parallel.mesh import shard_folds_decode
+
+            return shard_folds_decode(self.mesh, fn, weights, mels_f, aux_f,
+                                      key)
+        return fn(weights, mels_f, aux_f, key)
+
+    def _decode_cond(self, weights, cond, key, out_T: int):
+        """Pallas decode over a prebuilt conditioning stream, optionally
+        sharded over the mesh's 'data' axis (fold axis = cond axis 1)."""
+        from wavernn_tpu.ops import pallas_decode
+
+        fn = lambda w, c, k: pallas_decode.decode(
+            w, None, None, k, mode=self.cfg.mode,
+            n_classes=self.cfg.n_classes, cond=c, out_T=out_T,
+            int8_gates=self.int8_gates, deterministic=self.deterministic,
         )
+        if self.mesh is not None:
+            from wavernn_tpu.parallel.mesh import shard_cond_decode
+
+            return shard_cond_decode(self.mesh, fn, weights, cond, key)
+        return fn(weights, cond, key)

@@ -96,42 +96,65 @@ def shard_batch_fn(plan: MeshPlan) -> Callable:
 # -- parameter sharding rules -------------------------------------------------------
 
 
-def _param_spec(path: tuple, leaf) -> P:
-    """Tensor-parallel layout for WaveRNN/Tacotron parameter pytrees.
+_MATRIX_NAMES = ("w_ih", "w_hh", "kernel")
+_BIAS_FOR = {"w_ih": ("b_ih",), "w_hh": ("b_hh",), "kernel": ("bias",)}
 
-    Gate-blocked recurrent matrices (w_ih/w_hh: (in, G*H)) and FC kernels
-    shard their *output* dimension over 'model'; biases of the same layers
-    shard likewise; everything else (small convs, norms, embeddings) is
-    replicated.  XLA inserts the all-gathers/reduce-scatters this layout
-    implies.
+
+def make_param_specs(params, n_model: int):
+    """Tensor-parallel PartitionSpec pytree for WaveRNN/Tacotron params.
+
+    Gate-blocked recurrent matrices (w_ih/w_hh: (in, G*H)) and Dense kernels
+    shard their *output* dimension over 'model'.  A 1-D bias shards ONLY
+    when a sibling matrix in the same module shards its output dim — so
+    BatchNorm ``bias`` leaves (whose sibling is ``scale``, not a kernel)
+    stay replicated next to their scale, and conv kernels (3-D) plus their
+    biases stay replicated too.  Anything that does not tile evenly over
+    ``n_model`` is replicated.  XLA inserts the all-gathers/reduce-scatters
+    this layout implies.
     """
-    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-    joined = "/".join(str(n) for n in names)
-    if leaf.ndim == 2 and any(k in joined for k in ("w_ih", "w_hh", "kernel")):
-        # shard output dim if large enough to matter and divisible
-        return P(None, "model")
-    if leaf.ndim == 1 and any(k in joined for k in ("b_ih", "b_hh", "bias")):
-        return P("model")
-    return P()
+
+    def module_specs(node):
+        if not isinstance(node, dict):
+            return node
+        leaves = {k: v for k, v in node.items() if hasattr(v, "ndim")}
+        specs = {}
+        sharded_bias_names = set()
+        for name, leaf in leaves.items():
+            if (name in _MATRIX_NAMES and leaf.ndim == 2
+                    and leaf.shape[1] % n_model == 0):
+                specs[name] = P(None, "model")
+                sharded_bias_names.update(_BIAS_FOR[name])
+            else:
+                specs[name] = P()
+        for name, leaf in leaves.items():
+            if (name in sharded_bias_names and leaf.ndim == 1
+                    and leaf.shape[0] % n_model == 0):
+                specs[name] = P("model")
+        for k, v in node.items():
+            if k not in leaves:
+                specs[k] = module_specs(v)
+        return specs
+
+    return module_specs(params)
 
 
 def shard_params(plan: MeshPlan, params, tensor_parallel: bool = True):
     """Place a parameter pytree on the mesh (replicated, or TP over 'model')."""
     mesh = plan.mesh
+    if not tensor_parallel or plan.n_model == 1:
+        repl = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(lambda l: jax.device_put(l, repl), params)
 
-    def place(path, leaf):
-        if not tensor_parallel or plan.n_model == 1:
-            spec = P()
-        else:
-            spec = _param_spec(path, leaf)
-            # divisibility guard: replicate anything that doesn't tile evenly
-            for dim, axis in enumerate(spec):
-                if axis == "model" and leaf.shape[dim] % plan.n_model != 0:
-                    spec = P()
-                    break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    specs = make_param_specs(params, plan.n_model)
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    # manual walk: PartitionSpec is a tuple subclass, so a tree_map over
+    # (params, specs) would descend into the specs themselves
+    def place(node, spec):
+        if isinstance(node, dict):
+            return {k: place(v, spec[k]) for k, v in node.items()}
+        return jax.device_put(node, NamedSharding(mesh, spec))
+
+    return place(params, specs)
 
 
 def shard_folds_decode(plan: MeshPlan, decode_fn: Callable,
@@ -164,3 +187,29 @@ def shard_folds_decode(plan: MeshPlan, decode_fn: Callable,
         check_rep=False,
     )
     return fn(weights, mels_f, aux_f, key)
+
+
+def shard_cond_decode(plan: MeshPlan, decode_fn: Callable,
+                      weights, cond, key):
+    """Sequence-parallel generation over a PACKED conditioning stream: the
+    fold axis (axis 1 of the kernel's (T_pad, B_pad, SEG) conditioning,
+    built by pallas_decode.pack_cond_stream) is sharded over 'data' and
+    each chip runs ``decode_fn(weights, cond_shard, key) -> (B_local, T)``
+    on its fold shard — the Pallas kernel's multi-chip serving layout.
+
+    The PRNG key is folded with the shard index so shards draw independent
+    sample streams.  Returns (B_pad, T) with the unsharded layout.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def per_shard(w, c, k):
+        k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+        return decode_fn(w, c, k)
+
+    fn = shard_map(
+        per_shard, mesh=plan.mesh,
+        in_specs=(P(), P(None, "data", None), P()),
+        out_specs=P("data", None),
+        check_rep=False,
+    )
+    return fn(weights, cond, key)

@@ -107,48 +107,37 @@ def ordinal_to_words(num) -> str:
     return " ".join(tokens).replace(" - ", "-")
 
 
-# -- regex pipeline (API parity with ref utils/text/numbers.py:13-79) ---------
+# -- text normalization pass --------------------------------------------------
+#
+# One tokenizer sweep over the text: a single master pattern recognizes
+# currency / decimal / ordinal / cardinal tokens (ordered most- to least-
+# specific) and a handler table verbalizes each token completely in place.
+# Observable behavior matches the reference's sequential substitution
+# pipeline (ref: utils/text/numbers.py) and is pinned by
+# tests/test_text.py::test_normalize_numbers_pipeline — including the
+# quirks a TTS frontend must keep for checkpoint-compatible training text:
+# year-style reading of 4-digit numbers in (1000, 3000), comma-grouped
+# digits collapsing before verbalization, and currency amounts splitting
+# into unit/subunit words.
 
-_comma_number_re = re.compile(r"([0-9][0-9\,]+[0-9])")
-_decimal_number_re = re.compile(r"([0-9]+\.[0-9]+)")
-_pounds_re = re.compile(r"£([0-9\,]*[0-9]+)")
-_dollars_re = re.compile(r"\$([0-9\.\,]*[0-9]+)")
-_ordinal_re = re.compile(r"[0-9]+(st|nd|rd|th)")
-_number_re = re.compile(r"[0-9]+")
-
-
-def _remove_commas(m):
-    return m.group(1).replace(",", "")
-
-
-def _expand_decimal_point(m):
-    return m.group(1).replace(".", " point ")
-
-
-def _expand_dollars(m):
-    match = m.group(1)
-    parts = match.split(".")
-    if len(parts) > 2:
-        return match + " dollars"  # unexpected format
-    dollars = int(parts[0]) if parts[0] else 0
-    cents = int(parts[1]) if len(parts) > 1 and parts[1] else 0
-    if dollars and cents:
-        dollar_unit = "dollar" if dollars == 1 else "dollars"
-        cent_unit = "cent" if cents == 1 else "cents"
-        return f"{dollars} {dollar_unit}, {cents} {cent_unit}"
-    if dollars:
-        return f"{dollars} {'dollar' if dollars == 1 else 'dollars'}"
-    if cents:
-        return f"{cents} {'cent' if cents == 1 else 'cents'}"
-    return "zero dollars"
+_TOKEN_RE = re.compile(
+    r"""
+    \$(?P<dollars>[0-9.,]*[0-9])        # $1,000.50 — whole + cents
+  | £(?P<pounds>[0-9,]*[0-9])           # £100 — integer amounts only
+  | (?P<decimal>[0-9][0-9,]*\.[0-9]+)   # 3.14 — 'point' reading
+  | (?P<ordinal>[0-9]+)(?:st|nd|rd|th)  # 23rd
+  | (?P<cardinal>[0-9][0-9,]*[0-9]|[0-9])
+    """,
+    re.VERBOSE,
+)
 
 
-def _expand_ordinal(m):
-    return ordinal_to_words(m.group(0)[:-2])
-
-
-def _expand_number(m):
-    num = int(m.group(0))
+def verbalize_integer(digits: str) -> str:
+    """Cardinal reading of a digit run, with the conventional year-style
+    grouping for 4-digit values in (1000, 3000): 1999 → 'nineteen
+    ninety-nine', 2000 → 'two thousand', 2005 → 'two thousand five',
+    1900 → 'nineteen hundred'."""
+    num = int(digits.replace(",", ""))
     if 1000 < num < 3000:
         if num == 2000:
             return "two thousand"
@@ -156,15 +145,45 @@ def _expand_number(m):
             return "two thousand " + number_to_words(num % 100)
         if num % 100 == 0:
             return number_to_words(num // 100) + " hundred"
-        return number_to_words(num, andword="", zero="oh", group=2).replace(", ", " ")
+        return number_to_words(
+            num, andword="", zero="oh", group=2
+        ).replace(", ", " ")
     return number_to_words(num, andword="")
 
 
+def _currency(amount: str, unit: str, subunit: str) -> str:
+    parts = amount.replace(",", "").split(".")
+    if len(parts) > 2:  # malformed ($1.2.3): read every field
+        return (" point ".join(verbalize_integer(p) for p in parts if p)
+                + f" {unit}s")
+    whole = int(parts[0]) if parts[0] else 0
+    cents = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+    words = []
+    if whole:
+        words.append(f"{verbalize_integer(str(whole))} "
+                     f"{unit if whole == 1 else unit + 's'}")
+    if cents:
+        words.append(f"{verbalize_integer(str(cents))} "
+                     f"{subunit if cents == 1 else subunit + 's'}")
+    return ", ".join(words) if words else f"zero {unit}s"
+
+
+_HANDLERS = {
+    "dollars": lambda tok: _currency(tok, "dollar", "cent"),
+    # the reference reads £ amounts as integers with a fixed plural
+    "pounds": lambda tok: f"{verbalize_integer(tok)} pounds",
+    "decimal": lambda tok: " point ".join(
+        verbalize_integer(p) for p in tok.replace(",", "").split(".")
+    ),
+    "ordinal": lambda tok: ordinal_to_words(int(tok)),
+    "cardinal": verbalize_integer,
+}
+
+
+def _verbalize_token(m: re.Match) -> str:
+    kind = m.lastgroup
+    return _HANDLERS[kind](m.group(kind))
+
+
 def normalize_numbers(text: str) -> str:
-    text = re.sub(_comma_number_re, _remove_commas, text)
-    text = re.sub(_pounds_re, r"\1 pounds", text)
-    text = re.sub(_dollars_re, _expand_dollars, text)
-    text = re.sub(_decimal_number_re, _expand_decimal_point, text)
-    text = re.sub(_ordinal_re, _expand_ordinal, text)
-    text = re.sub(_number_re, _expand_number, text)
-    return text
+    return _TOKEN_RE.sub(_verbalize_token, text)

@@ -87,6 +87,7 @@ def tts_train_loop(
     # see voc_train_loop: scalar fetches are throttled to keep the device
     # dispatch pipeline full; NaN detection lags at most display_every steps
     display_every = max(1, min(10, hp.tts_checkpoint_every))
+    state_finite = True   # last fetched loss/grad were finite
 
     for e in range(1, epochs + 1):
         start = time.time()
@@ -105,9 +106,13 @@ def tts_train_loop(
 
             if i % display_every == 0 or step % hp.tts_checkpoint_every == 0 \
                     or steps_done >= train_steps:
-                if np.isnan(float(grad_norm)):
-                    print("grad_norm was NaN!")
-                running_loss += float(loss)
+                loss_f, gn_f = float(loss), float(grad_norm)
+                state_finite = np.isfinite(loss_f) and np.isfinite(gn_f)
+                if not state_finite:
+                    print(f"\nWARNING: non-finite loss/grad at step {step} "
+                          f"(loss={loss_f}, grad_norm={gn_f}) — checkpoints "
+                          "suppressed until training recovers!")
+                running_loss += loss_f
                 n_fetched += 1
                 avg_loss = running_loss / n_fetched
                 speed = i / (time.time() - start)
@@ -117,7 +122,10 @@ def tts_train_loop(
                 )
                 stream(msg)
 
-            if step % hp.tts_checkpoint_every == 0:
+            # checkpoint boundaries force a scalar fetch above, so this
+            # guard costs no extra syncs; a NaN run must never overwrite a
+            # good checkpoint pair (ref intent: train_tacotron.py:145-146)
+            if step % hp.tts_checkpoint_every == 0 and state_finite:
                 save_checkpoint("tts", paths, state,
                                 name=f"taco_step{k}K", is_silent=True)
 
@@ -133,7 +141,8 @@ def tts_train_loop(
             if steps_done >= train_steps:
                 break
 
-        save_checkpoint("tts", paths, state, is_silent=True)
+        if state_finite:
+            save_checkpoint("tts", paths, state, is_silent=True)
         append_log(paths.tts_log, msg)
         print(" ")
         if steps_done >= train_steps:

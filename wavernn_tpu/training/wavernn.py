@@ -108,6 +108,7 @@ def voc_train_loop(
     # device, so per-step fetching would serialize the async dispatch
     # pipeline.  NaN detection therefore lags by at most display_every steps.
     display_every = max(1, min(10, hp.voc_checkpoint_every))
+    state_finite = True   # last fetched loss/grad were finite
 
     for e in range(1, epochs + 1):
         start = time.time()
@@ -124,10 +125,14 @@ def voc_train_loop(
 
             at_checkpoint = step % hp.voc_checkpoint_every == 0
             if i % display_every == 0 or at_checkpoint or step >= total_steps:
-                running_loss += float(loss)
+                loss_f, gn_f = float(loss), float(grad_norm)
+                state_finite = np.isfinite(loss_f) and np.isfinite(gn_f)
+                if not state_finite:
+                    print(f"\nWARNING: non-finite loss/grad at step {step} "
+                          f"(loss={loss_f}, grad_norm={gn_f}) — checkpoints "
+                          "suppressed until training recovers!")
+                running_loss += loss_f
                 n_fetched += 1
-                if np.isnan(float(grad_norm)):
-                    print("grad_norm was NaN!")
                 avg_loss = running_loss / n_fetched
                 speed = i / (time.time() - start)
                 msg = (
@@ -137,19 +142,25 @@ def voc_train_loop(
                 stream(msg)
 
             if at_checkpoint:
-                if gen_at_checkpoint:
-                    gen_testset(
-                        cfg, state, test_set, hp.voc_gen_at_checkpoint,
-                        hp.voc_gen_batched, hp.voc_target, hp.voc_overlap,
-                        paths.voc_output,
-                    )
-                save_checkpoint("voc", paths, state,
-                                name=f"wave_step{k}K", is_silent=True)
+                # the scalars above were fetched this step (at_checkpoint
+                # forces the fetch), so the guard is free of extra syncs —
+                # a NaN run must never overwrite a good checkpoint pair
+                # (ref NaN-guard intent: train_wavernn.py:129-130)
+                if state_finite:
+                    if gen_at_checkpoint:
+                        gen_testset(
+                            cfg, state, test_set, hp.voc_gen_at_checkpoint,
+                            hp.voc_gen_batched, hp.voc_target, hp.voc_overlap,
+                            paths.voc_output,
+                        )
+                    save_checkpoint("voc", paths, state,
+                                    name=f"wave_step{k}K", is_silent=True)
 
             if step >= total_steps:
                 break
 
-        save_checkpoint("voc", paths, state, is_silent=True)
+        if state_finite:
+            save_checkpoint("voc", paths, state, is_silent=True)
         append_log(paths.voc_log, msg)
         print(" ")
         if host_step >= total_steps:
