@@ -36,7 +36,12 @@ def main():
         jnp.zeros((1, 1 + 2 * cfg.pad, cfg.feat_dims)),
         True,
     )
-    gen = Generator(cfg, variables, backend=backend, fold_bucket=16)
+    # int16 PCM serving output: the tail fade + 16-bit quantization run on
+    # device and collect() ships WAV-payload bytes — half a float32's
+    # transfer per sample (validated against the float path by
+    # tests/test_wavernn.py::test_int16_output_matches_float_path)
+    gen = Generator(cfg, variables, backend=backend, fold_bucket=16,
+                    output_dtype="int16")
 
     # ~24 s utterances -> ~47 folds of 11k samples each: production-shaped
     T_mel = int(os.environ.get("BENCH_T_MEL", "1920"))
@@ -55,31 +60,53 @@ def main():
     # times only the device-side sample loop with mels already resident).
     # Inputs are prestaged; all utterances are submitted (single-program
     # fused dispatches queue on the chip in order) and the clock stops only
-    # after the LAST utterance's audio is fetched back to the host — device
-    # execution is in-order, so every submission has finished by then.
-    # Best of ``passes`` timed passes: the axon relay between host and chip
-    # stalls for tens of ms at random, which is environment noise, not
-    # device throughput — the fastest pass is the least-contaminated sample.
+    # after EVERY utterance's audio has been fetched back to the host — the
+    # strict definition: all N host transfers are inside the clock.
+    # Headline = MEDIAN of ``passes`` timed passes (the axon relay between
+    # host and chip stalls for tens of ms at random; the median sheds that
+    # environment noise without cherry-picking); the best pass and the
+    # last-fetch-only (loose) rate are reported alongside for comparison
+    # with earlier rounds.
     staged = [gen.prestage(m, batched=True, target=target, overlap=overlap)
               for m in mels]
     passes = int(os.environ.get("BENCH_PASSES", "5"))
-    khz = 0.0
+    strict, loose = [], []
     for p in range(passes):
         t0 = time.time()
         handles = [gen.submit(d, batched=True, target=target, overlap=overlap,
                               mu_law=False, seed=p * runs + s + 1)
                    for s, d in enumerate(staged)]
-        last = gen.collect(handles[-1])
-        dt = time.time() - t0
-        waves = [gen.collect(h) for h in handles[:-1]] + [last]
+        for h in handles:       # overlap result transfers with device compute
+            gen.prefetch(h)
+        waves = [gen.collect(h) for h in handles]
+        dt_all = time.time() - t0
         assert all(np.isfinite(w).all() for w in waves)
-        khz = max(khz, sum(len(w) for w in waves) / dt / 1000.0)
+        total = sum(len(w) for w in waves)
+        strict.append(total / dt_all / 1000.0)
+
+        # loose pass (prior rounds' definition): clock stops once the LAST
+        # utterance's audio is fetched — device work is provably done, but
+        # the other N-1 host transfers fall outside the clock
+        t0 = time.time()
+        handles = [gen.submit(d, batched=True, target=target, overlap=overlap,
+                              mu_law=False, seed=(p + passes) * runs + s + 1)
+                   for s, d in enumerate(staged)]
+        last = gen.collect(handles[-1])
+        dt_last = time.time() - t0
+        rest = [gen.collect(h) for h in handles[:-1]]
+        loose.append((sum(len(w) for w in rest) + len(last)) / dt_last / 1e3)
+    khz = float(np.median(strict))
     baseline_khz = 50.0 * cfg.sample_rate / 1000.0  # 50x realtime
     print(json.dumps({
         "metric": "wavernn_gen_khz_per_chip",
         "value": round(khz, 1),
         "unit": "kHz",
         "vs_baseline": round(khz / baseline_khz, 3),
+        "strict_best": round(max(strict), 1),
+        "loose_median": round(float(np.median(loose)), 1),
+        "loose_best": round(max(loose), 1),
+        "passes": passes,
+        "output": "pcm16",
     }))
 
 

@@ -1,0 +1,241 @@
+"""Trained two-stage end-to-end TTS proof on a synthetic corpus.
+
+The reference's convergence criterion is a diagonal attention alignment
+plus recognizable audio (ref: README.md:36, train_tacotron.py:163-166).
+This demo builds a tiny note-language corpus (each character is a pure
+tone), drives the REAL CLI stack end to end —
+
+    preprocess.py → train_tacotron.py (curriculum + GTA export)
+                  → train_wavernn.py --gta → gen_tacotron.py
+
+— from scratch to trained weights, then GATES the result:
+
+  1. attention diagonality: the argmax attention path of every generated
+     utterance must be monotone and cover the text;
+  2. output spectrum: each generated wav, segmented per character, must
+     reproduce that character's tone (dominant-frequency match).
+
+Artifacts (wavs, attention PNG + .npy) land in <workspace>/model_outputs.
+Run time: minutes on a TPU chip (compiles dominate); also runs on CPU with
+JAX_PLATFORMS=cpu (slower).
+
+Usage:  python examples/e2e_tts.py [--workspace DIR] [--keep]
+Prints one JSON line with the measured gates.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+# the note language: one character = one pure tone, 0.3 s per note
+NOTES = {"a": 330.0, "b": 392.0, "c": 440.0, "d": 494.0, "e": 554.0}
+NOTE_SECONDS = 0.3
+SR = 22050
+
+TRAIN_TEXTS = [
+    "abcde", "edcba", "cadbe", "beadc", "dcbae", "aabbc",
+    "ccdde", "ebcad", "dbeac", "acebd", "badce", "ecdab",
+]
+EVAL_TEXTS = ["abcde", "ebcad", "dcbae"]
+
+
+def build_corpus(wav_dir: Path):
+    sys.path.insert(0, str(REPO))
+    from wavernn_tpu.dsp import wavio
+
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    n = int(NOTE_SECONDS * SR)
+    t = np.arange(n) / SR
+    env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / 500.0)
+    lines = []
+    for i, text in enumerate(TRAIN_TEXTS):
+        wav = np.concatenate([
+            0.5 * env * np.sin(2 * np.pi * NOTES[ch] * t) for ch in text
+        ]).astype(np.float32)
+        wavio.save_wav(wav, wav_dir / f"utt{i}.wav", sr=SR)
+        lines.append(f"utt{i}|{text}|{text}")
+    (wav_dir / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
+
+
+HP_TEMPLATE = """
+import sys; sys.path.insert(0, {repo!r})
+from hparams import *
+
+wav_path = 'wavs'
+data_path = 'data'
+tts_cleaner_names = ['basic_cleaners']
+
+# vocoder: RAW mu-law, mid-size dims (tones are easy; speed over capacity)
+voc_mode = 'RAW'
+voc_rnn_dims = 256
+voc_fc_dims = 256
+voc_batch_size = 16
+voc_total_steps = {voc_steps}
+voc_checkpoint_every = 100000
+voc_gen_at_checkpoint = 0
+voc_test_samples = 2
+voc_lr = 4e-4
+
+# tacotron: compact config, curriculum r 4 -> 2
+tts_embed_dims = 128
+tts_encoder_dims = 64
+tts_decoder_dims = 128
+tts_postnet_dims = 64
+tts_encoder_K = 8
+tts_lstm_dims = 256
+tts_postnet_K = 4
+tts_num_highways = 2
+tts_dropout = 0.1
+tts_schedule = [(4, 1e-3, {tts_s1}, 8),
+                (2, 3e-4, {tts_s2}, 8)]
+tts_checkpoint_every = 100000
+tts_max_mel_len = 2000
+tts_bin_lengths = False
+"""
+
+
+def run(cmd, cwd, env, tag):
+    print(f"\n=== {tag}: {' '.join(cmd)}", flush=True)
+    proc = subprocess.run(cmd, cwd=cwd, env=env)
+    if proc.returncode != 0:
+        raise RuntimeError(f"{tag} failed with rc={proc.returncode}")
+
+
+def diagonality(attn: np.ndarray, text_len: int):
+    """Monotonicity + coverage of the argmax attention path — the numeric
+    form of the reference's 'diagonal attention plot' criterion."""
+    path = attn.argmax(axis=1)
+    steps = np.diff(path)
+    monotone = float((steps >= 0).mean()) if len(steps) else 0.0
+    coverage = float(len(np.unique(path))) / max(text_len, 1)
+    sharp = float(attn.max(axis=1).mean())
+    return monotone, coverage, sharp
+
+
+def dominant_freq(seg: np.ndarray) -> float:
+    w = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    w[:4] = 0.0  # ignore DC drift
+    return float(np.fft.rfftfreq(len(seg), 1 / SR)[int(np.argmax(w))])
+
+
+def spectral_match(wav: np.ndarray, text: str):
+    """Fraction of characters whose generated segment peaks at that
+    character's note (within 12%)."""
+    n = int(NOTE_SECONDS * SR)
+    hits = 0
+    for i, ch in enumerate(text):
+        seg = wav[i * n: (i + 1) * n]
+        if len(seg) < n // 2:
+            break
+        f = dominant_freq(seg)
+        if abs(f - NOTES[ch]) / NOTES[ch] < 0.12:
+            hits += 1
+    return hits / len(text)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workspace", default=None,
+                    help="working dir (default: a temp dir)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the workspace after the run")
+    ap.add_argument("--voc_steps", type=int, default=3000)
+    ap.add_argument("--tts_steps", type=int, default=2400,
+                    help="total Tacotron steps across the 2-session schedule")
+    ap.add_argument("--gates_only", action="store_true",
+                    help="skip the pipeline and re-evaluate the gates on an "
+                         "existing workspace's artifacts")
+    ap.add_argument("--force_cpu", action="store_true",
+                    help="run the whole stack on CPU (the environment's "
+                         "sitecustomize pre-selects TPU, so the env var "
+                         "alone is not enough for the child CLIs)")
+    args = ap.parse_args()
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        args.force_cpu = True
+
+    ws = Path(args.workspace or tempfile.mkdtemp(prefix="e2e_tts_"))
+    ws.mkdir(parents=True, exist_ok=True)
+    print(f"workspace: {ws}")
+
+    if args.gates_only:
+        evaluate_gates(ws, args)
+        return
+
+    build_corpus(ws / "wavs")
+    (ws / "hp_e2e.py").write_text(HP_TEMPLATE.format(
+        repo=str(REPO), voc_steps=args.voc_steps,
+        tts_s1=args.tts_steps // 3, tts_s2=args.tts_steps,
+    ), encoding="utf-8")
+    (ws / "sentences.txt").write_text("\n".join(EVAL_TEXTS), encoding="utf-8")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    hp = ["--hp_file", "hp_e2e.py"]
+    cpu = ["--force_cpu"] if args.force_cpu else []
+
+    run([sys.executable, str(REPO / "preprocess.py"), "--path", "wavs"] + hp,
+        ws, env, "preprocess")
+    run([sys.executable, str(REPO / "train_tacotron.py")] + hp + cpu,
+        ws, env, "train_tacotron (+GTA export)")
+    run([sys.executable, str(REPO / "train_wavernn.py"), "--gta"] + hp + cpu,
+        ws, env, "train_wavernn (GTA)")
+    run([sys.executable, str(REPO / "gen_tacotron.py"), "--save_attention"]
+        + hp + cpu + ["wavernn", "--batched"],
+        ws, env, "gen_tacotron")
+
+    evaluate_gates(ws, args)
+
+
+def evaluate_gates(ws: Path, args):
+    sys.path.insert(0, str(REPO))
+    from wavernn_tpu.dsp import wavio
+
+    out_dir = next((ws / "model_outputs").glob("*.tacotron"))
+    gates = {"utterances": []}
+    for i, text in enumerate(EVAL_TEXTS, 1):
+        attn_file = next(out_dir.glob(f"{i}_*_attention.npy"))
+        wav_file = next(p for p in out_dir.glob(f"{i}_*.wav"))
+        attn = np.load(attn_file)
+        wav = wavio.load_wav(wav_file, sr=SR)
+        mono, cov, sharp = diagonality(attn, len(text))
+        spec = spectral_match(np.asarray(wav, np.float64), text)
+        gates["utterances"].append({
+            "text": text, "attn_monotone": round(mono, 3),
+            "attn_coverage": round(cov, 3), "attn_sharpness": round(sharp, 3),
+            "spectral_match": round(spec, 3),
+            "audio_s": round(len(wav) / SR, 2),
+        })
+
+    gates["min_monotone"] = min(u["attn_monotone"] for u in gates["utterances"])
+    gates["min_coverage"] = min(u["attn_coverage"] for u in gates["utterances"])
+    gates["min_sharpness"] = min(u["attn_sharpness"]
+                                 for u in gates["utterances"])
+    gates["min_spectral"] = min(u["spectral_match"] for u in gates["utterances"])
+    gates["workspace"] = str(ws)
+    print(json.dumps(gates))
+
+    # monotone alone is trivially satisfied by flat attention (constant
+    # argmax path), so the diagonality criterion is the conjunction:
+    # monotone path + full text coverage + sharp (near-one-hot) attention
+    ok = (gates["min_monotone"] >= 0.85 and gates["min_coverage"] >= 0.7
+          and gates["min_sharpness"] >= 0.4 and gates["min_spectral"] >= 0.6)
+    if not ok:
+        raise SystemExit(
+            f"E2E gates FAILED: {json.dumps(gates)} — attention not diagonal "
+            "enough or output tones off; artifacts kept at " + str(ws))
+    print("E2E TTS gates PASSED (diagonal attention + tone-accurate audio)")
+    if not args.keep and args.workspace is None:
+        shutil.rmtree(ws, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,15 @@ voc_seq_chunks = 1                       # >1: sequence-chunked BPTT — k-times
 voc_chunk_warmup = 128                   # teacher-forced context samples that
                                          # re-warm the hidden state per chunk
 
+# Sparse training (WaveRNN-paper magnitude pruning, cubic ramp; the
+# reference prototyped this in notebooks/Pruning - Scratchpad.ipynb —
+# here it is wired into voc_train_loop, masks fused into the train step)
+voc_prune = False                        # engage pruning during training
+voc_prune_target_sparsity = 0.9375       # Z: final zeroed fraction
+voc_prune_start = 20_000                 # t0: ramp start step
+voc_prune_ramp = 480_000                 # S: ramp length in steps
+voc_prune_every = 500                    # mask recompute cadence
+
 # Generating / Synthesizing
 voc_gen_batched = True                   # fold-parallel batched generation
 voc_target = 11_000                      # samples generated per batch entry

@@ -1,0 +1,33 @@
+"""Fused streaming path on real TPU (TPU tier: ``pytest -m tpu``).
+
+Runs tools/stream_latency.py in a subprocess on the TPU platform: asserts
+the fused packed-stream front-end produces EXACTLY the one-shot pipeline's
+audio under deterministic decode, and that time-to-first-chunk is sane
+(VERDICT r2 Weak #3: the streaming feature's headline latency).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+
+@pytest.mark.tpu
+def test_stream_fused_parity_and_latency(tpu_env):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "stream_latency.py")],
+        env=tpu_env, capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["backend"] == "pallas"
+    # deterministic stream == deterministic one-shot, sample for sample
+    assert stats["parity_max_abs_diff"] == 0.0, stats
+    # streaming must stay realtime-capable with margin, and the first chunk
+    # must arrive well before its own audio duration
+    assert stats["stream_xrt"] > 10, stats
+    assert stats["ttfc_ms"] < stats["first_chunk_audio_s"] * 1000, stats

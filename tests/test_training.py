@@ -222,6 +222,56 @@ def test_tts_nan_step_cannot_clobber_latest_checkpoint(tmp_path, hp_tiny):
     assert paths.tts_latest_optim.read_bytes() == good_optim
 
 
+def test_pruning_wired_into_train_loop(tmp_path, hp_tiny):
+    """voc_prune_* hparams engage sparse training inside voc_train_loop:
+    after the ramp, the big matrices hit the target sparsity, pruned
+    weights are exactly zero in the CHECKPOINT, and a resumed run keeps
+    them pruned (VERDICT r2 Missing #3; ref prototype:
+    notebooks/Pruning - Scratchpad.ipynb)."""
+    from wavernn_tpu.paths import Paths
+    from wavernn_tpu.training.wavernn import voc_train_loop
+    from wavernn_tpu.utils.checkpoints import restore_checkpoint
+
+    hp = hp_tiny
+    hp.voc_checkpoint_every = 1000
+    hp.voc_prune = True
+    hp.voc_prune_target_sparsity = 0.75
+    hp.voc_prune_start = 2
+    hp.voc_prune_ramp = 4
+    hp.voc_prune_every = 2
+
+    cfg = tiny_cfg()
+    _, opt, state = init_state(cfg)
+    paths = Paths(tmp_path / "data", "v", "t", base=tmp_path)
+
+    batches = [make_batch(cfg, B=2, rng=np.random.default_rng(i))
+               for i in range(10)]
+    state = voc_train_loop(paths, cfg, state, opt, batches, test_set=None,
+                           total_steps=10, gen_at_checkpoint=False)
+
+    def sparsity(p, name):
+        w = np.asarray(p[name]["cell"]["w_hh"])
+        return float((w == 0).mean())
+
+    # ramp completed at step 6 → target sparsity on the gated matrices
+    s1 = sparsity(state.params, "rnn1")
+    assert abs(s1 - 0.75) < 0.02, s1
+
+    # pruned weights are zero ON DISK (the resume contract)
+    _, opt2, fresh = init_state(cfg)
+    restored = restore_checkpoint("voc", paths, fresh)
+    assert abs(sparsity(restored.params, "rnn1") - 0.75) < 0.02
+    zero_set = np.asarray(restored.params["rnn1"]["cell"]["w_hh"]) == 0
+
+    # resume: one more step must keep the same weights pruned
+    resumed = voc_train_loop(paths, cfg, restored, opt2, batches[:1],
+                             test_set=None, total_steps=11,
+                             gen_at_checkpoint=False)
+    w_after = np.asarray(resumed.params["rnn1"]["cell"]["w_hh"])
+    assert np.all(w_after[zero_set] == 0)
+    assert abs(float((w_after == 0).mean()) - 0.75) < 0.02
+
+
 def test_sine_overfit_smoke():
     """NB1-equivalent: the model should overfit a short sine segment quickly
     (SURVEY.md §4.4)."""

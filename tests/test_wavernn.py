@@ -132,6 +132,28 @@ def test_streaming_generation_chunks():
     assert abs(wav[-1]) < 1e-6  # tail fade applied to the last chunk
 
 
+def test_int16_output_matches_float_path():
+    """output_dtype='int16' (device-side tail fade + PCM quantization) must
+    equal quantizing the float64 path's waveform, to 1 LSB."""
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    mel = np.random.default_rng(5).uniform(
+        0, 1, (cfg.feat_dims, 40)).astype(np.float32)
+
+    kw = dict(batched=True, target=2750, overlap=550, mu_law=True, seed=3)
+    f64 = Generator(cfg, variables, backend="scan")(mel, **kw)
+    pcm = Generator(cfg, variables, backend="scan",
+                    output_dtype="int16")(mel, **kw)
+    assert pcm.dtype == np.int16
+    assert pcm.shape == f64.shape
+    expect = np.round(np.clip(f64, -1, 1) * 32767.0)
+    np.testing.assert_allclose(pcm.astype(np.float64), expect, atol=1.0)
+    # the vast majority must match exactly (only fp-order ties may differ)
+    assert (pcm.astype(np.float64) == expect).mean() > 0.99
+
+
 def test_generate_deterministic_given_seed():
     from wavernn_tpu.ops.decode import Generator
 

@@ -167,7 +167,8 @@ class Generator:
     def __init__(self, cfg: WaveRNNConfig, variables, backend: str = "scan",
                  fold_bucket: int = 4, frame_bucket: int = 32,
                  int8_gates: bool = True, mesh=None,
-                 deterministic: bool = False):
+                 deterministic: bool = False,
+                 output_dtype: str = "float64"):
         self.cfg = cfg
         self.variables = variables
         self.model = WaveRNN(cfg)
@@ -186,6 +187,13 @@ class Generator:
         # deterministic=True replaces sampling with argmax (RAW) / mixture-
         # mode (MOL) draws — reproducible decode for tests and debugging.
         self.deterministic = deterministic
+        # output_dtype='int16' delivers 16-bit PCM (the WAV payload format)
+        # with the tail fade applied ON DEVICE: collect() then ships half
+        # the bytes of float32 and does no host-side math — the production
+        # serving path on a bandwidth-limited host link.
+        if output_dtype not in ("float64", "float32", "int16"):
+            raise ValueError(f"unsupported output_dtype {output_dtype!r}")
+        self.output_dtype = output_dtype
         self.fold_bucket = fold_bucket
         self.frame_bucket = frame_bucket
         self._upsample = jax.jit(
@@ -212,9 +220,26 @@ class Generator:
 
         self._finalize = finalize
 
+        fade = 20 * cfg.hop_length
+
+        def maybe_pcm16(y, wave_len):
+            """Device-side tail fade + 16-bit PCM quantization (the exact
+            host-side fade of collect(), moved in-graph) when the Generator
+            serves int16; identity otherwise."""
+            if self.output_dtype != "int16":
+                return y
+            idx = jnp.arange(y.shape[0])
+            j = (idx - (wave_len - fade)).astype(jnp.float32)
+            factor = jnp.clip(1.0 - j / (fade - 1), 0.0, 1.0)
+            y = y * factor
+            return jnp.round(
+                jnp.clip(y, -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
+
         @partial(jax.jit, static_argnames=("mu_law", "batched", "target",
                                            "overlap", "num_folds_padded"))
-        def full_pipeline(variables, weights, mels_padded, num_folds, key, *,
+        def full_pipeline(variables, weights, mels_padded, num_folds,
+                          wave_len, key, *,
                           mu_law: bool, batched: bool, target: int,
                           overlap: int, num_folds_padded: int):
             """The whole mel→waveform graph as ONE program: upsample convs,
@@ -242,10 +267,10 @@ class Generator:
                     target, overlap, T_pad,
                 )
                 samples = self._decode_cond(weights, cond, key, fold_T)
-                return finalize(
+                return maybe_pcm16(finalize(
                     samples, num_folds, mu_law=mu_law, batched=batched,
                     overlap=overlap, n_classes=cfg.n_classes,
-                )
+                ), wave_len)
             mels_up, aux = self.model.apply(
                 variables, mels_padded, False, method=WaveRNN.upsample_only
             )
@@ -259,10 +284,10 @@ class Generator:
             else:
                 mels_f, aux_f = mels_up, aux
             samples = self._decode(weights, mels_f, aux_f, key)
-            return finalize(
+            return maybe_pcm16(finalize(
                 samples, num_folds, mu_law=mu_law, batched=batched,
                 overlap=overlap, n_classes=cfg.n_classes,
-            )
+            ), wave_len)
 
         self._full_pipeline = full_pipeline
 
@@ -418,16 +443,33 @@ class Generator:
 
         out_dev = self._full_pipeline(
             self.variables, self.weights, mels_dev,
-            jnp.asarray(num_folds, jnp.int32), jax.random.PRNGKey(seed),
+            jnp.asarray(num_folds, jnp.int32),
+            jnp.asarray(wave_len, jnp.int32), jax.random.PRNGKey(seed),
             mu_law=mu_law, batched=batched, target=target, overlap=overlap,
             num_folds_padded=self._pad_folds(num_folds),
         )
         return out_dev, wave_len
 
+    def prefetch(self, handle) -> None:
+        """Start the device→host copy of a :meth:`submit` result without
+        blocking.  In pipelined serving, prefetching every outstanding
+        handle right after submission overlaps result transfers with the
+        device compute of later utterances (transfers stream back as each
+        in-order program finishes); :meth:`collect` then finds the bytes
+        already on host."""
+        handle[0].copy_to_host_async()
+
     def collect(self, handle) -> np.ndarray:
-        """Resolve a :meth:`submit` handle to the float64 waveform."""
+        """Resolve a :meth:`submit` handle to the waveform: float64 (default,
+        reference-parity) / float32, or device-faded 16-bit PCM when the
+        Generator was built with ``output_dtype='int16'``."""
         out_dev, wave_len = handle
-        output = np.asarray(out_dev, dtype=np.float64)[:wave_len]
+        if self.output_dtype == "int16":
+            # fade + quantization already applied on device
+            return np.asarray(out_dev)[:wave_len]
+        # np.array (not asarray): a same-dtype fetch can alias read-only
+        # device memory, and the fade below writes in place
+        output = np.array(out_dev, dtype=np.dtype(self.output_dtype))[:wave_len]
         # linear tail fade to avoid an abrupt cut (ref: fatchord_version.py:255-258)
         fade_len = min(20 * self.cfg.hop_length, len(output))
         if fade_len:
@@ -528,27 +570,57 @@ class Generator:
         mels = np.pad(
             mels, ((0, 0), (c.pad, t_bucket - mels.shape[1] - c.pad), (0, 0))
         )
-        mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
         real_len = (t_bucket - 2 * c.pad) * c.hop_length
         num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
-        mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
-        aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
-
+        fold_T = target + 2 * overlap
         stride = target + overlap  # fold k starts at k*stride
         # folds whose span starts at/after wave_len are pure padding — skip
         # decoding them so the last real group carries the tail fade
         needed_folds = min(num_folds, -(-wave_len // stride))
+
+        if self.backend == "pallas":
+            # fused conditioning front-end, same as _full_pipeline: ONE
+            # packed bf16 stream (mel-rate aux, no stretched f32 aux / fold
+            # copies), then a per-group fold gather feeding the kernel —
+            # time-to-first-chunk excludes the whole-utterance fold/pack
+            # HBM churn the pre-fusion path paid up front
+            from wavernn_tpu.ops import pallas_decode
+
+            T_pad = _round_up(fold_T, pallas_decode.CHUNK)
+            pad_to = max(real_len, (needed_folds - 1) * stride + T_pad)
+            packed = self._get_pack_stream()(
+                self.variables, jnp.asarray(mels), pad_to=pad_to)
+            group_fn = self._get_stream_group()
+
+            def decode_group(g0, g1):
+                n = g1 - g0
+                n_pad = self._kernel_fold_pad(n)
+                starts = np.zeros(n_pad, np.int32)
+                starts[:n] = np.arange(g0, g1, dtype=np.int32) * stride
+                return np.asarray(group_fn(
+                    self.weights, packed, jnp.asarray(starts),
+                    jax.random.PRNGKey(seed + g0),
+                    fold_T=fold_T, T_pad=T_pad,
+                ))[:n]
+        else:
+            mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
+            mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
+            aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
+
+            def decode_group(g0, g1):
+                n = g1 - g0
+                n_pad = self._pad_folds(n)
+                mf = jnp.pad(mels_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
+                af = jnp.pad(aux_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
+                return np.asarray(self._decode(
+                    self.weights, mf, af, jax.random.PRNGKey(seed + g0)
+                ))[:n]
+
         prev_fold = None  # raw samples of the last fold already decoded
         emitted = 0
         for g0 in range(0, needed_folds, group):
             g1 = min(g0 + group, needed_folds)
-            n = g1 - g0
-            n_pad = self._pad_folds(n)
-            mf = jnp.pad(mels_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
-            af = jnp.pad(aux_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
-            samples = np.asarray(self._decode(
-                self.weights, mf, af, jax.random.PRNGKey(seed + g0)
-            ))[:n]
+            samples = decode_group(g0, g1)
 
             # finalize THIS group plus one fold of left context
             if prev_fold is None:
@@ -591,6 +663,42 @@ class Generator:
         self.weights = extract_decode_weights(variables["params"])
 
     # -- internals -------------------------------------------------------------
+
+    def _get_pack_stream(self):
+        """Jitted (upsample convs + packed bf16 conditioning stream) for the
+        streaming path; cached so repeated stream() calls reuse programs."""
+        if getattr(self, "_pack_stream_fn", None) is None:
+            from wavernn_tpu.ops import pallas_decode
+
+            @partial(jax.jit, static_argnames=("pad_to",))
+            def pack_stream_fn(variables, mels_padded, *, pad_to: int):
+                mels_up, aux_mel = self.model.apply(
+                    variables, mels_padded, False,
+                    method=WaveRNN.upsample_parts,
+                )
+                s = pallas_decode.pack_stream(
+                    mels_up, aux_mel, self.cfg.total_scale)
+                if pad_to > s.shape[0]:
+                    s = jnp.pad(s, ((0, pad_to - s.shape[0]), (0, 0)))
+                return s
+
+            self._pack_stream_fn = pack_stream_fn
+        return self._pack_stream_fn
+
+    def _get_stream_group(self):
+        """Jitted per-group decode over the packed stream: one fold gather
+        plus the kernel launch (optionally mesh-sharded)."""
+        if getattr(self, "_stream_group_fn", None) is None:
+            from wavernn_tpu.ops import pallas_decode
+
+            @partial(jax.jit, static_argnames=("fold_T", "T_pad"))
+            def stream_group(weights, packed, starts, key, *,
+                             fold_T: int, T_pad: int):
+                cond = pallas_decode.gather_cond(packed, starts, T_pad)
+                return self._decode_cond(weights, cond, key, fold_T)
+
+            self._stream_group_fn = stream_group
+        return self._stream_group_fn
 
     def _pad_folds(self, n: int) -> int:
         """Static fold-count padding: bucket for program reuse, and (with a

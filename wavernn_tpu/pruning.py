@@ -114,10 +114,40 @@ class Pruner:
             return self._compute(params, step)
         return masks
 
+    def masks_for_resume(self, params, step: int):
+        """Reconstruct the active masks when resuming from a checkpoint at
+        ``step``.  Sparsity state needs no extra checkpoint payload: the
+        train step stores params MASKED (pruned weights are exactly zero on
+        disk), the ramp z(t) derives from the step counter, and zero-
+        magnitude weights sort below any positive threshold — so recomputing
+        the mask at the last cadence point reproduces the pre-restart mask
+        exactly."""
+        step0 = (step // self.cfg.prune_every) * self.cfg.prune_every
+        if step0 >= self.cfg.start_step:
+            return self._compute(params, step0)
+        return self.init_masks(params)
+
     @staticmethod
     def apply(masks, params):
         """Elementwise mask application (jit-fusable)."""
         return jax.tree_util.tree_map(lambda m, p: m * p, masks, params)
+
+
+def make_pruner_from_hp(hp) -> Optional["Pruner"]:
+    """Build a Pruner from the ``voc_prune_*`` hparams (None when pruning is
+    off).  Engaged by voc_train_loop so sparse training is reachable from
+    train_wavernn.py — productionizing the reference's notebook prototype
+    (ref: notebooks/Pruning - Scratchpad.ipynb, prune_every=500 cubic
+    ramp)."""
+    if not hp.get("voc_prune", False):
+        return None
+    cfg = PruneConfig(
+        target_sparsity=hp.get("voc_prune_target_sparsity", 0.9375),
+        start_step=hp.get("voc_prune_start", 20_000),
+        ramp_steps=hp.get("voc_prune_ramp", 480_000),
+        prune_every=hp.get("voc_prune_every", 500),
+    )
+    return Pruner(cfg)
 
 
 def measured_sparsity(masks) -> float:

@@ -38,8 +38,15 @@ def append_log(path, msg: str) -> None:
 
 
 def make_train_step(model: WaveRNN, optimizer: optax.GradientTransformation,
-                    mode: str, donate: bool = True) -> Callable:
-    """Build the jitted vocoder train step."""
+                    mode: str, donate: bool = True,
+                    prune: bool = False) -> Callable:
+    """Build the jitted vocoder train step.
+
+    ``prune=True`` returns a step taking an extra ``masks`` pytree: the
+    forward runs on masked params and pruned weights are re-zeroed after
+    the optimizer update (the reference prototype's in-place weight zeroing,
+    ref: notebooks/Pruning - Scratchpad.ipynb) — one fused elementwise
+    multiply each way, no extra dispatches."""
 
     def loss_fn(params, batch_stats, x, y, mels):
         logits, mutated = model.apply(
@@ -56,14 +63,22 @@ def make_train_step(model: WaveRNN, optimizer: optax.GradientTransformation,
             raise ValueError(f"Unknown mode {mode}")
         return loss, mutated["batch_stats"]
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, x, y, mels):
+    def step_impl(state: TrainState, x, y, mels, masks=None):
+        params = state.params
+        if masks is not None:
+            from wavernn_tpu.pruning import Pruner
+
+            params = Pruner.apply(masks, params)
         (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, x, y, mels
+            params, state.batch_stats, x, y, mels
         )
         grad_norm = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if masks is not None:
+            from wavernn_tpu.pruning import Pruner
+
+            params = Pruner.apply(masks, params)
         new_state = state.replace(
             params=params,
             batch_stats=batch_stats,
@@ -71,6 +86,14 @@ def make_train_step(model: WaveRNN, optimizer: optax.GradientTransformation,
             step=state.step + 1,
         )
         return new_state, loss, grad_norm
+
+    donate_args = (0,) if donate else ()
+    if prune:
+        return jax.jit(step_impl, donate_argnums=donate_args)
+
+    @partial(jax.jit, donate_argnums=donate_args)
+    def train_step(state: TrainState, x, y, mels):
+        return step_impl(state, x, y, mels)
 
     return train_step
 
@@ -98,7 +121,16 @@ def voc_train_loop(
     if lr is not None:
         set_learning_rate(state.opt_state, lr)
     model = WaveRNN(cfg)
-    train_step = make_train_step(model, optimizer, cfg.mode)
+
+    # sparse training (voc_prune_* hparams): cubic-ramp magnitude pruning
+    # fused into the step; resume reconstructs masks from (params, step)
+    from wavernn_tpu.pruning import make_pruner_from_hp
+
+    pruner = make_pruner_from_hp(hp)
+    train_step = make_train_step(model, optimizer, cfg.mode,
+                                 prune=pruner is not None)
+    masks = (pruner.masks_for_resume(state.params, state.get_step())
+             if pruner is not None else None)
 
     total_iters = len(train_set)
     host_step = state.get_step()
@@ -118,7 +150,11 @@ def voc_train_loop(
         for i, (x, y, mels) in enumerate(train_set, 1):
             if shard_batch is not None:
                 x, y, mels = shard_batch(x, y, mels)
-            state, loss, grad_norm = train_step(state, x, y, mels)
+            if pruner is not None:
+                masks = pruner.maybe_update(masks, state.params, host_step + 1)
+                state, loss, grad_norm = train_step(state, x, y, mels, masks)
+            else:
+                state, loss, grad_norm = train_step(state, x, y, mels)
             host_step += 1
             step = host_step
             k = step // 1000
