@@ -36,16 +36,30 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 
-# the note language: one character = one pure tone, 0.3 s per note
+# The note language: one character = one pure tone.  Notes are SHORT
+# (~10 mel frames) so note transitions — the moments where the decoder
+# cannot predict the next frame from its own output and must consult the
+# text — are frequent: that is what forces the attention to become
+# diagonal.  Long constant notes train a copy-last-frame decoder with flat
+# attention (measured failure mode).  Texts VARY in length so training
+# batches contain padded text positions, matching generation's padded
+# buckets; audio ends in silence so the decoder learns the stop condition.
 NOTES = {"a": 330.0, "b": 392.0, "c": 440.0, "d": 494.0, "e": 554.0}
-NOTE_SECONDS = 0.3
+NOTE_SECONDS = 0.125
+TAIL_SILENCE_SECONDS = 0.25
 SR = 22050
 
-TRAIN_TEXTS = [
-    "abcde", "edcba", "cadbe", "beadc", "dcbae", "aabbc",
-    "ccdde", "ebcad", "dbeac", "acebd", "badce", "ecdab",
+# The corpus must be LARGE relative to the decoder's capacity: with a few
+# dozen melodies the decoder memorizes each sequence (identified from its
+# first notes) and attention collapses onto the leading characters
+# (measured failure mode).  ~1200 random melodies make alignment the only
+# strategy that fits the data — the same reason real corpora align.
+_rng = np.random.default_rng(7)
+TRAIN_TEXTS = ["abcdeabcde", "ebcadebcad", "dcbaedcbae"] + [
+    "".join(_rng.choice(list("abcde"), int(n)))
+    for n in _rng.integers(8, 13, 1197)
 ]
-EVAL_TEXTS = ["abcde", "ebcad", "dcbae"]
+EVAL_TEXTS = ["abcdeabcde", "ebcadebcad", "dcbaedcbae"]
 
 
 def build_corpus(wav_dir: Path):
@@ -55,12 +69,13 @@ def build_corpus(wav_dir: Path):
     wav_dir.mkdir(parents=True, exist_ok=True)
     n = int(NOTE_SECONDS * SR)
     t = np.arange(n) / SR
-    env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / 500.0)
+    env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / 300.0)
+    tail = np.zeros(int(TAIL_SILENCE_SECONDS * SR), np.float32)
     lines = []
     for i, text in enumerate(TRAIN_TEXTS):
         wav = np.concatenate([
             0.5 * env * np.sin(2 * np.pi * NOTES[ch] * t) for ch in text
-        ]).astype(np.float32)
+        ] + [tail]).astype(np.float32)
         wavio.save_wav(wav, wav_dir / f"utt{i}.wav", sr=SR)
         lines.append(f"utt{i}|{text}|{text}")
     (wav_dir / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
@@ -85,7 +100,11 @@ voc_gen_at_checkpoint = 0
 voc_test_samples = 2
 voc_lr = 4e-4
 
-# tacotron: compact config, curriculum r 4 -> 2
+# tacotron: compact config; reference-style curriculum starting at high r
+# (fewer decoder steps per char force the attention to advance) and the
+# reference's 0.5 prenet dropout (starves the autoregressive path so the
+# decoder MUST read the text — lower dropout measurably collapses
+# attention onto the first characters on this corpus)
 tts_embed_dims = 128
 tts_encoder_dims = 64
 tts_decoder_dims = 128
@@ -94,12 +113,16 @@ tts_encoder_K = 8
 tts_lstm_dims = 256
 tts_postnet_K = 4
 tts_num_highways = 2
-tts_dropout = 0.1
-tts_schedule = [(4, 1e-3, {tts_s1}, 8),
+tts_schedule = [(7, 1e-3, {tts_s1}, 8),
                 (2, 3e-4, {tts_s2}, 8)]
 tts_checkpoint_every = 100000
 tts_max_mel_len = 2000
 tts_bin_lengths = False
+# bucket padded batch shapes so the varied-length corpus compiles a couple
+# of programs instead of one per (L_max, T_max) combination (remote TPU
+# compiles are minutes each)
+tts_pad_text_multiple = 16
+tts_pad_mel_multiple = 16
 """
 
 
@@ -149,7 +172,7 @@ def main():
     ap.add_argument("--keep", action="store_true",
                     help="keep the workspace after the run")
     ap.add_argument("--voc_steps", type=int, default=3000)
-    ap.add_argument("--tts_steps", type=int, default=2400,
+    ap.add_argument("--tts_steps", type=int, default=6000,
                     help="total Tacotron steps across the 2-session schedule")
     ap.add_argument("--gates_only", action="store_true",
                     help="skip the pipeline and re-evaluate the gates on an "

@@ -97,6 +97,9 @@ tts_schedule = [
 
 tts_max_mel_len = 1250                   # drop outlier-length spectrograms
 tts_bin_lengths = True                   # length-binned batching
+tts_pad_text_multiple = 1                # pad batch text length up to a multiple
+                                         # (>1 buckets shapes for XLA program reuse)
+tts_pad_mel_multiple = 1                 # pad batch mel length up to a multiple
 tts_clip_grad_norm = 1.0                 # None disables clipping
 tts_checkpoint_every = 2_000
 

@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the CPU tier is compile-dominated on
+# this 1-vCPU host, and programs are identical run to run — cached compiles
+# cut repeat suite time severalfold.  Safe to delete the dir at any time.
+from pathlib import Path as _Path  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(_Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import subprocess  # noqa: E402
 import sys  # noqa: E402
 

@@ -191,14 +191,26 @@ def collate_tts(batch, r: int):
 
     Returns (chars (B,L) int32, mel (B, T, n_mels) f32, ids, mel_lens).
     """
+    # Optional shape bucketing for XLA program reuse: padding text/mel up
+    # to coarse multiples collapses the per-batch (L_max, T_max) shape
+    # variety into a handful of compiled programs — essential when compiles
+    # are expensive (TPU) and lengths vary (SURVEY §7 "recompilation
+    # storms").  Defaults of 1 reproduce the reference's exact batch-max
+    # padding (ref: utils/dataset.py:166-190).
+    import math
+
+    text_mult = int(hp.get("tts_pad_text_multiple", 1))
+    mel_mult = int(hp.get("tts_pad_mel_multiple", 1))
+
     x_lens = [len(x[0]) for x in batch]
-    max_x_len = max(x_lens)
+    max_x_len = -(-max(x_lens) // text_mult) * text_mult
     chars = np.stack([pad1d(x[0], max_x_len) for x in batch]).astype(np.int32)
 
     spec_lens = [x[1].shape[-1] for x in batch]
     max_spec_len = max(spec_lens) + 1
-    if max_spec_len % r != 0:
-        max_spec_len += r - max_spec_len % r
+    step = math.lcm(r, mel_mult)
+    if max_spec_len % step != 0:
+        max_spec_len += step - max_spec_len % step
 
     mel = np.stack([pad2d(x[1], max_spec_len) for x in batch]).astype(np.float32)
     mel = (mel * 8.0) - 4.0  # scale [0,1] → [-4,4]

@@ -80,6 +80,9 @@ class TTSPipeline:
             mel = np.clip((m_linear + 4) / 8, 0, 1)
             vh = self.voc.submit(mel, True, target, overlap, mu_law,
                                  seed + i)
+            # start the result's device->host copy as soon as its in-order
+            # program finishes, overlapping with later utterances' compute
+            self.voc.prefetch(vh)
             nxt = i + lookahead + 1
             if nxt < n:
                 tts_h[nxt] = self.tts.submit(seqs[nxt], r=self.r)

@@ -706,18 +706,20 @@ class Generator:
         evenly (pallas shards also need sublane-aligned per-chip widths)."""
         n = _round_up(n, self.fold_bucket)
         if self.mesh is not None:
-            per_chip = 8 if self.backend == "pallas" else 1
+            per_chip = 16 if self.backend == "pallas" else 1
             n = _round_up(n, per_chip * self.mesh.n_data)
         return n
 
     def _kernel_fold_pad(self, n: int) -> int:
         """Fold padding for the pallas kernel's conditioning width: the
-        PER-CHIP fold count is sublane-aligned and lands on a grid-tile
-        boundary when it exceeds one kernel tile."""
+        PER-CHIP fold count is sublane-aligned (bf16 sublane = 16 rows,
+        matching the kernel's own B_pad computation) and lands on a
+        grid-tile boundary when it exceeds one kernel tile."""
         from wavernn_tpu.ops import pallas_decode
 
+        sub = pallas_decode.SUBLANE_BF16
         shards = self.mesh.n_data if self.mesh is not None else 1
-        local = _round_up(max(-(-n // shards), 8), 8)
+        local = _round_up(max(-(-n // shards), sub), sub)
         if local > pallas_decode.B_TILE:
             local = _round_up(local, pallas_decode.B_TILE)
         return local * shards

@@ -88,6 +88,10 @@ def tts_train_loop(
     # dispatch pipeline full; NaN detection lags at most display_every steps
     display_every = max(1, min(10, hp.tts_checkpoint_every))
     state_finite = True   # last fetched loss/grad were finite
+    # epoch-end latest saves wall-clock throttled (see voc_train_loop)
+    save_min_s = float(hp.get("latest_save_min_interval_s", 30.0))
+    last_save = 0.0
+    last_plot = 0.0
 
     for e in range(1, epochs + 1):
         start = time.time()
@@ -129,7 +133,11 @@ def tts_train_loop(
                 save_checkpoint("tts", paths, state,
                                 name=f"taco_step{k}K", is_silent=True)
 
-            if attn_example in ids:
+            # attention/mel diagnostics, wall-clock throttled like the
+            # latest save (on a tiny corpus the example appears every
+            # epoch; a PNG render per step would dominate the loop)
+            if attn_example in ids and time.time() - last_plot >= save_min_s:
+                last_plot = time.time()
                 idx = ids.index(attn_example)
                 save_attention(
                     np.asarray(attn)[idx][:, :160], paths.tts_attention / f"{step}"
@@ -141,11 +149,13 @@ def tts_train_loop(
             if steps_done >= train_steps:
                 break
 
-        if state_finite:
+        done = steps_done >= train_steps
+        if state_finite and (done or time.time() - last_save >= save_min_s):
             save_checkpoint("tts", paths, state, is_silent=True)
+            last_save = time.time()
         append_log(paths.tts_log, msg)
         print(" ")
-        if steps_done >= train_steps:
+        if done:
             break
 
     return state

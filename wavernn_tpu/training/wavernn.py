@@ -141,6 +141,12 @@ def voc_train_loop(
     # pipeline.  NaN detection therefore lags by at most display_every steps.
     display_every = max(1, min(10, hp.voc_checkpoint_every))
     state_finite = True   # last fetched loss/grad were finite
+    # Epoch-end "latest" saves are wall-clock throttled: on real datasets an
+    # epoch takes minutes (reference cadence preserved), but on tiny
+    # corpora a per-epoch full state fetch+serialize would dominate the
+    # run.  The final save (loop exit) is never skipped.
+    save_min_s = float(hp.get("latest_save_min_interval_s", 30.0))
+    last_save = 0.0
 
     for e in range(1, epochs + 1):
         start = time.time()
@@ -195,11 +201,13 @@ def voc_train_loop(
             if step >= total_steps:
                 break
 
-        if state_finite:
+        done = host_step >= total_steps
+        if state_finite and (done or time.time() - last_save >= save_min_s):
             save_checkpoint("voc", paths, state, is_silent=True)
+            last_save = time.time()
         append_log(paths.voc_log, msg)
         print(" ")
-        if host_step >= total_steps:
+        if done:
             break
 
     return state
