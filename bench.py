@@ -80,7 +80,10 @@ def main():
             gen.prefetch(h)
         waves = [gen.collect(h) for h in handles]
         dt_all = time.time() - t0
-        assert all(np.isfinite(w).all() for w in waves)
+        # output is int16 PCM (isfinite would be vacuous): assert each wave
+        # carries real signal — nonzero samples well above the LSB floor
+        assert all(len(w) and np.abs(w.astype(np.int32)).max() > 256
+                   for w in waves)
         total = sum(len(w) for w in waves)
         strict.append(total / dt_all / 1000.0)
 

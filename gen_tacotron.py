@@ -156,11 +156,7 @@ def main():
             save_path = paths.tts_output / f"{i}_{v_type}_{tts_k}k.wav"
 
         if args.save_attn:
-            save_attention(attention, save_path)
-            # the raw matrix next to the heatmap, so convergence gates can
-            # assert diagonality numerically (examples/e2e_tts.py)
-            np.save(save_path.parent / f"{save_path.stem}_attention.npy",
-                    np.asarray(attention))
+            save_attention(attention, save_path, save_raw=True)
 
         if args.vocoder == "wavernn":
             gen = make_generator(voc_cfg, voc_state)

@@ -61,6 +61,10 @@ def test_normalize_numbers_pipeline():
     assert normalize_numbers("23rd") == "twenty-third"
     assert normalize_numbers("1,234") == "twelve thirty-four"
     assert normalize_numbers("5,000") == "five thousand"
+    # comma-grouped ordinals: the reference strips commas before the ordinal
+    # pass, so '1,021st' reads as the ordinal of 1021, not a cardinal + 'st'
+    assert normalize_numbers("1,021st") == "one thousand, twenty-first"
+    assert normalize_numbers("2,500th") == "two thousand, five hundredth"
 
 
 def test_english_cleaners():

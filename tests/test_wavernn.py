@@ -221,6 +221,12 @@ def test_streaming_incremental_crossfade_matches_full_unfold():
     assert num_folds > 2 * group  # several incremental groups exercised
     np.testing.assert_allclose(streamed, full, atol=1e-6)
 
+    # the public parity oracle (same per-group programs, one-shot unfold)
+    # must agree with this independently-constructed reference exactly
+    oneshot = gen.stream_oneshot(mel, target=target, overlap=overlap,
+                                 mu_law=True, group=group)
+    np.testing.assert_allclose(oneshot, full, atol=1e-6)
+
     # O(1) compiled programs: first group (no context), steady-state
     # (group+1 folds), and possibly a short last group — never O(n_groups)
     assert gen._finalize._cache_size() <= 3

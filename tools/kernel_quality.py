@@ -57,7 +57,14 @@ def main():
     parser.add_argument("--mode", choices=["RAW", "MOL"], default="MOL")
     parser.add_argument("--eval_frames", type=int, default=1200)
     parser.add_argument("--seeds", type=int, default=5)
+    # RAW overfits fast at 4x the production LR; MOL's logistic-scale head
+    # diverges there (loss bounces 7<->9), so it trains at the production LR
+    parser.add_argument("--lr_mult", type=float, default=None,
+                        help="LR multiplier over hp.voc_lr "
+                             "(default: 4 for RAW, 1 for MOL)")
     args = parser.parse_args()
+    if args.lr_mult is None:
+        args.lr_mult = 4.0 if args.mode == "RAW" else 1.0
 
     hp.configure(str(default_hparams_path()), voc_mode=args.mode)
     cfg = WaveRNNConfig.from_hp(hp)
@@ -73,7 +80,7 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, hp.voc_seq_len)),
         jnp.zeros((1, mel_win, hp.num_mels)), True,
     )
-    opt = make_optimizer(hp.voc_lr * 4, hp.voc_clip_grad_norm)
+    opt = make_optimizer(hp.voc_lr * args.lr_mult, hp.voc_clip_grad_norm)
     state = new_train_state(variables["params"], variables["batch_stats"], opt)
     train_step = make_train_step(model, opt, cfg.mode, donate=False)
 

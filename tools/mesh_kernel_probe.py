@@ -56,7 +56,9 @@ def main():
     from wavernn_tpu.parallel.mesh import shard_cond_decode
 
     w = extract_decode_weights(variables["params"])
-    B, T = 16, 2560
+    # fold count must split evenly over 'data' with each shard's width
+    # sublane-aligned for the kernel (16 bf16 rows per chip)
+    B, T = 16 * n_dev, 2560
     mels_up = jnp.asarray(rng.uniform(0, 1, (B, T, cfg.feat_dims)),
                           jnp.float32)
     aux = jnp.asarray(rng.uniform(0, 1, (B, T, cfg.res_out_dims)),

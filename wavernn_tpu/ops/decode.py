@@ -228,9 +228,14 @@ class Generator:
             serves int16; identity otherwise."""
             if self.output_dtype != "int16":
                 return y
+            # collect() clamps the fade window to the clip length
+            # (fade_len = min(20*hop, len)); mirror that so sub-fade-length
+            # clips fade 1 -> 0 across the whole clip instead of starting
+            # attenuated
+            L = jnp.minimum(fade, wave_len).astype(jnp.float32)
             idx = jnp.arange(y.shape[0])
-            j = (idx - (wave_len - fade)).astype(jnp.float32)
-            factor = jnp.clip(1.0 - j / (fade - 1), 0.0, 1.0)
+            j = (idx - (wave_len - L)).astype(jnp.float32)
+            factor = jnp.clip(1.0 - j / jnp.maximum(L - 1.0, 1.0), 0.0, 1.0)
             y = y * factor
             return jnp.round(
                 jnp.clip(y, -1.0, 1.0) * 32767.0
@@ -539,26 +544,17 @@ class Generator:
             outputs.append(out)
         return outputs
 
-    def stream(self, mels, target: int, overlap: int, mu_law: bool,
-               group: int = 16, seed: int = 0):
-        """Streaming synthesis: yield finalized float64 audio chunks as fold
-        groups finish decoding (BASELINE config 5: streaming TTS serving).
+    def _stream_setup(self, mels, target: int, overlap: int, seed: int):
+        """Shared streaming front-end: pad/bucket the mel spectrogram, build
+        the per-group fold decoder (fused pack+gather path on pallas, folded
+        upsample on scan), and return
+        ``(decode_group, needed_folds, stride, wave_len)``.
 
-        Latency model: the first chunk arrives after ONE group of folds
-        decodes (~group*target samples of audio) instead of after the whole
-        utterance; each subsequent group extends the stream.
-
-        Incremental crossfade finalization: only the single raw fold
-        preceding the current group is carried as context — fold k-1 is the
-        only earlier fold whose tail overlaps positions at or beyond fold
-        k's seam — so each group finalizes in O(group) with a fixed-shape
-        program, and the compile count is independent of utterance length.
-        A position is final once every fold overlapping it has decoded, so
-        after group g the stream emits up to the next group's seam start.
+        Both :meth:`stream` and :meth:`stream_oneshot` run their folds
+        through THIS closure, so the two differ only in finalization — which
+        is exactly the invariant ``tools/stream_latency.py`` asserts.
         """
         c = self.cfg
-        mu_law = mu_law if c.mode == "RAW" else False
-
         mels = np.asarray(mels, dtype=np.float32)
         if mels.ndim == 2:
             mels = mels[None]
@@ -616,6 +612,30 @@ class Generator:
                     self.weights, mf, af, jax.random.PRNGKey(seed + g0)
                 ))[:n]
 
+        return decode_group, needed_folds, stride, wave_len
+
+    def stream(self, mels, target: int, overlap: int, mu_law: bool,
+               group: int = 16, seed: int = 0):
+        """Streaming synthesis: yield finalized float64 audio chunks as fold
+        groups finish decoding (BASELINE config 5: streaming TTS serving).
+
+        Latency model: the first chunk arrives after ONE group of folds
+        decodes (~group*target samples of audio) instead of after the whole
+        utterance; each subsequent group extends the stream.
+
+        Incremental crossfade finalization: only the single raw fold
+        preceding the current group is carried as context — fold k-1 is the
+        only earlier fold whose tail overlaps positions at or beyond fold
+        k's seam — so each group finalizes in O(group) with a fixed-shape
+        program, and the compile count is independent of utterance length.
+        A position is final once every fold overlapping it has decoded, so
+        after group g the stream emits up to the next group's seam start.
+        """
+        c = self.cfg
+        mu_law = mu_law if c.mode == "RAW" else False
+        decode_group, needed_folds, stride, wave_len = self._stream_setup(
+            mels, target, overlap, seed)
+
         prev_fold = None  # raw samples of the last fold already decoded
         emitted = 0
         for g0 in range(0, needed_folds, group):
@@ -655,6 +675,35 @@ class Generator:
                 yield chunk
             if emitted >= wave_len:
                 return
+
+    def stream_oneshot(self, mels, target: int, overlap: int, mu_law: bool,
+                       group: int = 16, seed: int = 0) -> np.ndarray:
+        """Decode the SAME per-group programs :meth:`stream` uses (same fold
+        gather, same kernel, same per-group PRNG keys), but finalize every
+        fold in ONE crossfade-unfold.  This is the parity oracle that
+        isolates stream()'s incremental finalization as exactly zero-error
+        (``tools/stream_latency.py``); comparing stream() against the
+        one-shot pipeline instead would compare different XLA programs whose
+        f32 upsample rounding differs by ULPs.  Returns the float64 waveform.
+        """
+        c = self.cfg
+        mu_law = mu_law if c.mode == "RAW" else False
+        decode_group, needed_folds, _, wave_len = self._stream_setup(
+            mels, target, overlap, seed)
+        rows = np.concatenate(
+            [decode_group(g0, min(g0 + group, needed_folds))
+             for g0 in range(0, needed_folds, group)], axis=0)
+        n_pad = self._pad_folds(rows.shape[0])
+        window = np.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
+        wav = np.asarray(self._finalize(
+            jnp.asarray(window), jnp.asarray(rows.shape[0], jnp.int32),
+            mu_law=mu_law, batched=True, overlap=overlap,
+            n_classes=c.n_classes,
+        ), dtype=np.float64)[:wave_len]
+        fade_len = min(20 * c.hop_length, len(wav))
+        if fade_len:
+            wav[-fade_len:] *= np.linspace(1, 0, fade_len)
+        return wav
 
     def update_variables(self, variables) -> None:
         """Swap in new model variables (e.g. a fresher checkpoint) without

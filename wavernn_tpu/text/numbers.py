@@ -125,7 +125,7 @@ _TOKEN_RE = re.compile(
     \$(?P<dollars>[0-9.,]*[0-9])        # $1,000.50 — whole + cents
   | £(?P<pounds>[0-9,]*[0-9])           # £100 — integer amounts only
   | (?P<decimal>[0-9][0-9,]*\.[0-9]+)   # 3.14 — 'point' reading
-  | (?P<ordinal>[0-9]+)(?:st|nd|rd|th)  # 23rd
+  | (?P<ordinal>[0-9][0-9,]*[0-9]|[0-9])(?:st|nd|rd|th)  # 23rd, 1,021st
   | (?P<cardinal>[0-9][0-9,]*[0-9]|[0-9])
     """,
     re.VERBOSE,
@@ -175,7 +175,7 @@ _HANDLERS = {
     "decimal": lambda tok: " point ".join(
         verbalize_integer(p) for p in tok.replace(",", "").split(".")
     ),
-    "ordinal": lambda tok: ordinal_to_words(int(tok)),
+    "ordinal": lambda tok: ordinal_to_words(int(tok.replace(",", ""))),
     "cardinal": verbalize_integer,
 }
 

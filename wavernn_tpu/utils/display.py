@@ -80,12 +80,17 @@ def time_since(started: float) -> str:
     return f"{m}m {s}s"
 
 
-def save_attention(attn: np.ndarray, path: Path) -> None:
+def save_attention(attn: np.ndarray, path: Path,
+                   save_raw: bool = False) -> None:
     """Save an attention-alignment heatmap PNG (the reference's convergence
-    diagnostic, ref: utils/display.py:84-89)."""
+    diagnostic, ref: utils/display.py:84-89).  With ``save_raw`` (or when
+    matplotlib is absent) the raw matrix is also written as
+    ``<stem>_attention.npy`` so convergence gates can assert diagonality
+    numerically (examples/e2e_tts.py)."""
     path = Path(path)
-    if not _HAS_MPL:  # pragma: no cover
+    if save_raw or not _HAS_MPL:
         np.save(path.parent / f"{path.stem}_attention.npy", np.asarray(attn))
+    if not _HAS_MPL:  # pragma: no cover
         return
     fig = plt.figure(figsize=(12, 6))
     plt.imshow(np.asarray(attn).T, interpolation="nearest", aspect="auto")
