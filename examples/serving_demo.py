@@ -89,10 +89,11 @@ def main():
     t0 = time.time()
     seqs = [text_to_sequence(t, ["english_cleaners"]) for t in texts]
     tts_handles = [pipe.tts.submit(s, r=5) for s in seqs]
-    voc_handles = []
+    voc_handles, mels = [], []
     for i, h in enumerate(tts_handles):
         _, linear, _ = pipe.tts.collect(h)
         mel = np.clip((linear + 4) / 8, 0, 1)
+        mels.append(mel)
         voc_handles.append(pipe.voc.submit(mel, True, 2750, 550, True, i))
     manual = [pipe.voc.collect(h) for h in voc_handles]
     print(f"handles: {len(manual)} wavs in {time.time() - t0:.1f}s")
@@ -103,6 +104,25 @@ def main():
         np.testing.assert_array_equal(a, b)
     assert all(np.isfinite(w).all() and w.ndim == 1 for w in batched)
     print("OK: stream == manual handles; all waveforms finite")
+
+    # 4. multi-session streaming server: concurrent utterances co-batched
+    #    into shared decoder launches; with deterministic decode each
+    #    session's audio equals its own solo Generator.stream exactly
+    from wavernn_tpu.infer.stream_server import StreamServer
+    from wavernn_tpu.ops.decode import Generator
+
+    det = Generator(voc_cfg, voc_vars, backend="scan", deterministic=True)
+    t0 = time.time()
+    srv = StreamServer(det, target=2750, overlap=550, mu_law=True,
+                       group=2, width=8, capacity=4)
+    served = srv.run(mels)
+    solo = [np.concatenate(list(det.stream(
+        m, target=2750, overlap=550, mu_law=True, group=2))) for m in mels]
+    for a, b in zip(served, solo):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    print(f"server:  {len(served)} concurrent sessions in "
+          f"{srv.launches} co-batched launches, {time.time() - t0:.1f}s; "
+          f"per-session audio == solo stream")
 
 
 if __name__ == "__main__":

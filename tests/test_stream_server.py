@@ -1,0 +1,100 @@
+"""Multi-session streaming server (infer/stream_server.py).
+
+The server co-batches fold rows from MANY concurrent utterances into one
+decoder launch; with deterministic decode its per-session output must be
+sample-for-sample identical to each session's own Generator.stream (same
+conditioning rows, same incremental crossfade).  Scan backend here; the
+pallas slot-buffer path runs in the TPU tier (tools/stream_server_probe.py
+via tests/test_stream_tpu.py).
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_wavernn import init_model, tiny_cfg
+
+TARGET, OVERLAP = 2750, 550
+
+
+def _make(deterministic=True):
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    gen = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    fold_bucket=4, deterministic=deterministic)
+    return cfg, gen
+
+
+def _mel(cfg, frames, seed):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 1, (cfg.feat_dims, frames)).astype(np.float32)
+
+
+def test_server_matches_individual_streams():
+    """3 concurrent sessions of different lengths == each utterance's own
+    stream, and scheduling interleaves them into shared launches."""
+    from wavernn_tpu.infer.stream_server import StreamServer
+
+    cfg, gen = _make()
+    mels = [_mel(cfg, f, i) for i, f in enumerate([120, 80, 150])]
+
+    solo = [np.concatenate(list(gen.stream(
+        m, target=TARGET, overlap=OVERLAP, mu_law=True, group=2)))
+        for m in mels]
+
+    srv = StreamServer(gen, target=TARGET, overlap=OVERLAP, mu_law=True,
+                       group=2, width=8, capacity=4)
+    served = srv.run(mels)
+
+    assert srv.launches < sum(-(-len(s) // (TARGET + OVERLAP) // 2) + 1
+                               for s in solo) + 3  # co-batched, not serial
+    for got, want in zip(served, solo):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_server_staggered_add_and_capacity():
+    """Sessions admitted mid-serving still match their solo stream; at
+    capacity add() refuses until a slot frees; run() drains a backlog
+    through limited capacity."""
+    from wavernn_tpu.infer.stream_server import StreamServer
+
+    cfg, gen = _make()
+    m1, m2 = _mel(cfg, 120, 10), _mel(cfg, 100, 11)
+    solo1 = np.concatenate(list(gen.stream(
+        m1, target=TARGET, overlap=OVERLAP, mu_law=True, group=2)))
+    solo2 = np.concatenate(list(gen.stream(
+        m2, target=TARGET, overlap=OVERLAP, mu_law=True, group=2)))
+
+    srv = StreamServer(gen, target=TARGET, overlap=OVERLAP, mu_law=True,
+                       group=2, width=8, capacity=1)
+    sid1 = srv.add(m1)
+    with pytest.raises(RuntimeError):
+        srv.add(m2)  # capacity 1
+    got = {sid1: []}
+    # serve session 1 partway, then free it and admit session 2
+    while sid1 in srv._sessions:
+        for sid, ch in srv.step().items():
+            got.setdefault(sid, []).append(ch)
+    sid2 = srv.add(m2)
+    got[sid2] = []
+    while srv.active:
+        for sid, ch in srv.step().items():
+            got[sid].append(ch)
+    np.testing.assert_allclose(np.concatenate(got[sid1]), solo1, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(got[sid2]), solo2, atol=1e-5)
+
+
+def test_server_least_progress_scheduling():
+    """A late-joining session is served ahead of an almost-done one."""
+    from wavernn_tpu.infer.stream_server import StreamServer
+
+    cfg, gen = _make()
+    srv = StreamServer(gen, target=TARGET, overlap=OVERLAP, mu_law=True,
+                       group=2, width=2, capacity=2)
+    srv.add(_mel(cfg, 150, 0))
+    srv.step()  # session 0 progresses
+    srv.add(_mel(cfg, 150, 1))
+    items, _ = srv._schedule()
+    assert items[0][0].sid == 1  # the fresh session goes first

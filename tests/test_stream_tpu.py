@@ -33,6 +33,24 @@ def test_kernel_under_shard_map_on_tpu(tpu_env):
 
 
 @pytest.mark.tpu
+def test_stream_server_multiplexed_on_tpu(tpu_env):
+    """Multi-session server, pallas slot-buffer path: deterministic
+    per-session output identical to each session's own stream, and 4
+    concurrent 24 s streams all served realtime with margin."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "stream_server_probe.py")],
+        env=tpu_env, capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["parity_max_abs_diff"] == 0.0, stats
+    assert stats["aggregate_xrt"] > 4 * 1.5, stats  # 4 streams, each >1.5x RT
+    # chunks must arrive faster than the audio they carry (realtime cadence;
+    # each chunk is ~group*stride/sr ~ 8.4 s of audio)
+    assert stats["mean_chunk_gap_ms"] < 8400, stats
+
+
+@pytest.mark.tpu
 def test_stream_fused_parity_and_latency(tpu_env):
     proc = subprocess.run(
         [sys.executable, str(REPO / "tools" / "stream_latency.py")],

@@ -1,0 +1,251 @@
+"""Multi-session streaming vocoder server: concurrent utterances, one kernel.
+
+The reference serves one utterance at a time (ref: gen_wavernn.py main loop,
+models/fatchord_version.py:169-264 batched generate); Generator.stream
+already turns one utterance into a low-latency chunk stream.  This module
+multiplexes MANY concurrent streams onto a single chip: each scheduling step
+decodes fold rows drawn from every active session in ONE decoder launch —
+the per-step cost of the AR kernel is dominated by its fixed floor
+(~4 us + ~0.13 us/fold on v5e, docs/ROADMAP.md), so co-batching N sessions'
+folds costs far less than N separate launches — then finalizes each
+session's newly-final audio with the same incremental crossfade as
+Generator.stream.
+
+Backend mechanics:
+
+* pallas — sessions are packed bf16 conditioning streams written into
+  equal-size slots of ONE shared device buffer (an in-place
+  dynamic_update_slice; the buffer is donated so adds don't copy it).
+  A launch gathers every selected fold's conditioning window from the
+  shared buffer by row offset (slot base + fold*stride) — the same
+  gather_cond the single-stream path uses, so programs are identical in
+  shape across steps and sessions.
+* scan — sessions hold host-resident folded conditioning; a launch stacks
+  the selected rows into one batch for the scan decoder.
+
+Scheduling is least-progress-first: every step, sessions with the fewest
+decoded folds contribute up to ``group`` folds each until ``width`` rows are
+filled, so late-joining sessions catch up to their realtime deadline instead
+of queueing behind finished-soon streams.
+
+Determinism: with ``Generator(deterministic=True)`` the server's output for
+each session is sample-for-sample identical to that session's own
+``Generator.stream`` — asserted by tests/test_stream_server.py and the TPU
+probe tools/stream_server_probe.py.  (Stochastic decode draws per-launch
+keys, so sampled outputs depend on batch composition, as any co-batching
+server's do.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wavernn_tpu.ops.decode import Generator, _IncrementalUnfold, _round_up
+
+
+class _Session:
+    """Internal per-session record."""
+
+    def __init__(self, sid: int, sess, fin: _IncrementalUnfold,
+                 slot: Optional[int]):
+        self.sid = sid
+        self.sess = sess          # ops.decode.StreamSession
+        self.fin = fin            # incremental finalizer (owns progress)
+        self.slot = slot          # pallas slot index (None on scan)
+
+
+class StreamServer:
+    """Serve many concurrent mel→waveform streams through one Generator.
+
+    Parameters
+    ----------
+    gen : Generator
+        The decode runtime (scan or pallas backend).  Must not use
+        ``output_dtype='int16'`` (chunks are finalized host-side as float64,
+        matching ``Generator.stream``).
+    target, overlap : int
+        Fold geometry, shared by every session (ref batched generate).
+    mu_law : bool
+        RAW-mode mu-law expansion (ignored in MOL mode).
+    group : int
+        Max folds ONE session contributes per step (= chunk cadence).
+    width : int
+        Max total fold rows per launch; 64 fills one kernel tile on v5e.
+    capacity : int
+        Max concurrent sessions (pallas: slots in the shared buffer).
+    slot_seconds : float
+        Pallas only — audio seconds of conditioning each slot can hold;
+        admission fails for longer utterances.
+    seed : int
+        Base for per-launch PRNG keys (stochastic decode).
+    """
+
+    def __init__(self, gen: Generator, target: int, overlap: int,
+                 mu_law: bool, group: int = 16, width: int = 64,
+                 capacity: int = 4, slot_seconds: float = 30.0,
+                 seed: int = 0):
+        if gen.output_dtype == "int16":
+            raise ValueError(
+                "StreamServer finalizes chunks host-side; build the "
+                "Generator with output_dtype='float64' (or 'float32')"
+            )
+        self.gen = gen
+        self.target = target
+        self.overlap = overlap
+        self.mu_law = mu_law if gen.cfg.mode == "RAW" else False
+        self.group = group
+        self.width = width
+        self.capacity = capacity
+        self.seed = seed
+        self.fold_T = target + 2 * overlap
+
+        self._sessions: Dict[int, _Session] = {}
+        self._next_sid = 0
+        self._launches = 0
+
+        if gen.backend == "pallas":
+            from wavernn_tpu.ops import pallas_decode
+
+            self.T_pad = _round_up(self.fold_T, pallas_decode.CHUNK)
+            # a slot must hold an utterance's packed rows: ~samples plus the
+            # last fold's chunk-aligned window
+            self.slot_len = _round_up(
+                int(slot_seconds * gen.cfg.sample_rate) + self.T_pad,
+                pallas_decode.CHUNK,
+            )
+            self._free_slots = list(range(capacity))
+            self._buffer = jnp.zeros(
+                (capacity * self.slot_len, pallas_decode.SEG), jnp.bfloat16)
+            self._write = jax.jit(
+                lambda buf, rows, base: jax.lax.dynamic_update_slice(
+                    buf, rows, (base, 0)),
+                donate_argnums=0,
+            )
+            self._group_fn = gen._get_stream_group()
+
+    # -- session lifecycle -------------------------------------------------
+
+    def add(self, mels) -> int:
+        """Admit an utterance; returns its session id.  Raises RuntimeError
+        when at capacity and ValueError when the utterance exceeds the
+        slot size."""
+        if len(self._sessions) >= self.capacity:
+            raise RuntimeError(
+                f"server at capacity ({self.capacity} sessions); call "
+                f"step() until one finishes"
+            )
+        pad_to = self.slot_len if self.gen.backend == "pallas" else None
+        sess = self.gen.open_stream_session(
+            mels, self.target, self.overlap, pad_to=pad_to, host_rows=True)
+        if sess.needed_folds == 0:  # sub-hop utterance: no audio to serve
+            raise ValueError("utterance too short to produce any samples")
+        slot = None
+        if self.gen.backend == "pallas":
+            slot = self._free_slots.pop()
+            self._buffer = self._write(
+                self._buffer, sess.packed,
+                jnp.asarray(slot * self.slot_len, jnp.int32))
+            sess.packed = None  # rows now live in the shared buffer
+        fin = _IncrementalUnfold(
+            self.gen, sess.needed_folds, sess.stride, sess.wave_len,
+            self.overlap, self.mu_law)
+        sid = self._next_sid
+        self._next_sid += 1
+        self._sessions[sid] = _Session(sid, sess, fin, slot)
+        return sid
+
+    @property
+    def active(self) -> List[int]:
+        return sorted(self._sessions)
+
+    @property
+    def launches(self) -> int:
+        """Decoder launches issued so far — the co-batching observable:
+        with N concurrent sessions this grows ~N× slower than the sum of
+        the sessions' solo chunk counts."""
+        return self._launches
+
+    # -- scheduling --------------------------------------------------------
+
+    def _schedule(self):
+        """Pick (session, g0, g1) work items: least-progress sessions first,
+        up to ``group`` folds each, ``width`` rows total."""
+        order = sorted(self._sessions.values(),
+                       key=lambda s: (s.fin.g_done, s.sid))
+        items, used = [], 0
+        for s in order:
+            if used >= self.width:
+                break
+            g0 = s.fin.g_done
+            g1 = min(g0 + self.group, s.sess.needed_folds,
+                     g0 + (self.width - used))
+            if g1 > g0:
+                items.append((s, g0, g1))
+                used += g1 - g0
+        return items, used
+
+    def step(self) -> Dict[int, np.ndarray]:
+        """Decode ONE multiplexed launch and return each served session's
+        newly-final audio chunk (sessions that finished this step release
+        their slot).  Empty dict when idle."""
+        items, used = self._schedule()
+        if not items:
+            return {}
+        key = jax.random.PRNGKey(self.seed * 1000003 + self._launches)
+        self._launches += 1
+
+        if self.gen.backend == "pallas":
+            n_pad = self.gen._kernel_fold_pad(used)
+            starts = np.zeros(n_pad, np.int32)
+            o = 0
+            for s, g0, g1 in items:
+                base = s.slot * self.slot_len
+                starts[o: o + g1 - g0] = (
+                    base + np.arange(g0, g1, dtype=np.int32) * s.sess.stride)
+                o += g1 - g0
+            rows = np.asarray(self._group_fn(
+                self.gen.weights, self._buffer, jnp.asarray(starts), key,
+                fold_T=self.fold_T, T_pad=self.T_pad,
+            ))
+        else:
+            n_pad = self.gen._pad_folds(used)
+            mf = np.concatenate([s.sess.mels_f[g0:g1] for s, g0, g1 in items])
+            af = np.concatenate([s.sess.aux_f[g0:g1] for s, g0, g1 in items])
+            mf = np.pad(mf, ((0, n_pad - used), (0, 0), (0, 0)))
+            af = np.pad(af, ((0, n_pad - used), (0, 0), (0, 0)))
+            rows = np.asarray(self.gen._decode(
+                self.gen.weights, jnp.asarray(mf), jnp.asarray(af), key))
+
+        chunks: Dict[int, np.ndarray] = {}
+        o = 0
+        for s, g0, g1 in items:
+            chunk = s.fin.feed(rows[o: o + g1 - g0])
+            o += g1 - g0
+            if len(chunk):
+                chunks[s.sid] = chunk
+            if s.fin.done:
+                if s.slot is not None:
+                    self._free_slots.append(s.slot)
+                del self._sessions[s.sid]
+        return chunks
+
+    def run(self, mels_list) -> List[np.ndarray]:
+        """Convenience batch driver: admit every utterance (waiting for free
+        slots as sessions finish), step until all complete, and return the
+        concatenated waveform per utterance in input order."""
+        pieces: Dict[int, List[np.ndarray]] = {}
+        sids: List[int] = []
+        pending = list(mels_list)
+        while pending or self._sessions:
+            while pending and len(self._sessions) < self.capacity:
+                sid = self.add(pending.pop(0))
+                sids.append(sid)
+                pieces[sid] = []
+            for sid, chunk in self.step().items():
+                pieces[sid].append(chunk)
+        return [np.concatenate(pieces[sid]) for sid in sids]

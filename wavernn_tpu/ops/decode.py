@@ -155,6 +155,94 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@dataclass
+class StreamSession:
+    """Per-utterance streaming decode state (Generator.open_stream_session).
+
+    Holds the prepared conditioning front-end for one utterance so fold rows
+    can be decoded in any grouping — by the utterance's own stream()
+    (consecutive groups) or multiplexed with OTHER sessions' rows into one
+    kernel launch (infer/stream_server.py).
+    """
+
+    needed_folds: int   # real folds to decode (padding-only folds skipped)
+    stride: int         # fold k's conditioning starts at row k*stride
+    fold_T: int         # decode steps per fold = target + 2*overlap
+    wave_len: int       # true output sample count
+    # pallas front-end: ONE packed (pad_to, SEG) bf16 conditioning stream;
+    # fold rows are gathered from it by start offset
+    packed: object = None
+    T_pad: int = 0      # kernel conditioning window (fold_T chunk-aligned)
+    # scan front-end: folded sample-rate conditioning, host-resident so a
+    # server can slice rows without device round-trips
+    mels_f: object = None
+    aux_f: object = None
+
+
+class _IncrementalUnfold:
+    """Incremental crossfade finalization for one streaming session.
+
+    Fold k-1 is the only earlier fold whose tail overlaps positions at or
+    beyond fold k's seam, so one raw fold of left context is all the state
+    required: each ``feed`` finalizes its rows plus that context in O(rows)
+    with fixed-shape programs, and emits exactly the samples that have
+    become final (every overlapping fold decoded).  Shared by
+    Generator.stream and the multi-session StreamServer.
+    """
+
+    def __init__(self, gen: "Generator", needed_folds: int, stride: int,
+                 wave_len: int, overlap: int, mu_law: bool):
+        self.gen = gen
+        self.needed_folds = needed_folds
+        self.stride = stride
+        self.wave_len = wave_len
+        self.overlap = overlap
+        self.mu_law = mu_law
+        self.g_done = 0        # folds fed so far
+        self.emitted = 0       # samples emitted so far
+        self._prev_fold = None  # raw samples of the last fold fed
+
+    @property
+    def done(self) -> bool:
+        return self.emitted >= self.wave_len
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        """Finalize raw fold rows for folds [g_done, g_done+len(samples));
+        return the newly-final audio chunk (possibly empty)."""
+        gen, g0 = self.gen, self.g_done
+        g1 = g0 + samples.shape[0]
+        if self._prev_fold is None:
+            window, base = samples, 0
+        else:
+            window = np.concatenate([self._prev_fold[None], samples], axis=0)
+            base = (g0 - 1) * self.stride
+        n_win = window.shape[0]
+        n_win_pad = _round_up(n_win, gen.fold_bucket)
+        window_p = np.pad(window, ((0, n_win_pad - n_win), (0, 0)))
+        unfolded = np.asarray(
+            gen._finalize(
+                jnp.asarray(window_p), jnp.asarray(n_win, jnp.int32),
+                mu_law=self.mu_law, batched=True, overlap=self.overlap,
+                n_classes=gen.cfg.n_classes,
+            ),
+            dtype=np.float64,
+        )
+        self._prev_fold = samples[-1]
+
+        final_upto = self.wave_len if g1 >= self.needed_folds else min(
+            self.wave_len, g1 * self.stride
+        )
+        chunk = unfolded[self.emitted - base: final_upto - base]
+        if g1 >= self.needed_folds:
+            fade_len = min(20 * gen.cfg.hop_length, len(chunk))
+            if fade_len:
+                chunk = chunk.copy()
+                chunk[-fade_len:] *= np.linspace(1, 0, fade_len)
+        self.emitted = final_upto
+        self.g_done = g1
+        return chunk
+
+
 class Generator:
     """End-to-end mel → waveform generation (ref WaveRNN.generate,
     models/fatchord_version.py:169-264).
@@ -544,15 +632,22 @@ class Generator:
             outputs.append(out)
         return outputs
 
-    def _stream_setup(self, mels, target: int, overlap: int, seed: int):
-        """Shared streaming front-end: pad/bucket the mel spectrogram, build
-        the per-group fold decoder (fused pack+gather path on pallas, folded
-        upsample on scan), and return
-        ``(decode_group, needed_folds, stride, wave_len)``.
+    def open_stream_session(self, mels, target: int, overlap: int,
+                            pad_to: int = None,
+                            host_rows: bool = False) -> StreamSession:
+        """Prepare one utterance's streaming front-end: pad/bucket the mel
+        spectrogram and build the fold-row conditioning source — on pallas
+        the fused packed bf16 stream (mel-rate aux, no stretched f32 aux /
+        fold copies: time-to-first-chunk excludes the whole-utterance
+        fold/pack HBM churn the pre-fusion path paid up front), on scan the
+        folded sample-rate conditioning.
 
-        Both :meth:`stream` and :meth:`stream_oneshot` run their folds
-        through THIS closure, so the two differ only in finalization — which
-        is exactly the invariant ``tools/stream_latency.py`` asserts.
+        ``pad_to`` (pallas only) forces the packed stream to a fixed row
+        count so a multi-session server can write sessions into equal-size
+        slots of one shared buffer; raises if the utterance needs more rows.
+        ``host_rows`` (scan only) materializes the folded conditioning on
+        the host so a server can stack rows across sessions; the solo
+        stream path leaves it device-resident.
         """
         c = self.cfg
         mels = np.asarray(mels, dtype=np.float32)
@@ -575,17 +670,48 @@ class Generator:
         needed_folds = min(num_folds, -(-wave_len // stride))
 
         if self.backend == "pallas":
-            # fused conditioning front-end, same as _full_pipeline: ONE
-            # packed bf16 stream (mel-rate aux, no stretched f32 aux / fold
-            # copies), then a per-group fold gather feeding the kernel —
-            # time-to-first-chunk excludes the whole-utterance fold/pack
-            # HBM churn the pre-fusion path paid up front
             from wavernn_tpu.ops import pallas_decode
 
             T_pad = _round_up(fold_T, pallas_decode.CHUNK)
-            pad_to = max(real_len, (needed_folds - 1) * stride + T_pad)
+            need = max(real_len, (needed_folds - 1) * stride + T_pad)
+            if pad_to is None:
+                pad_to = need
+            elif pad_to < need:
+                raise ValueError(
+                    f"utterance needs {need} conditioning rows but the slot "
+                    f"holds {pad_to} — raise the server's slot_seconds or "
+                    f"shorten the utterance"
+                )
             packed = self._get_pack_stream()(
                 self.variables, jnp.asarray(mels), pad_to=pad_to)
+            return StreamSession(
+                needed_folds=needed_folds, stride=stride, fold_T=fold_T,
+                wave_len=wave_len, packed=packed, T_pad=T_pad,
+            )
+
+        mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
+        mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
+        aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
+        if host_rows:
+            mels_f, aux_f = np.asarray(mels_f), np.asarray(aux_f)
+        return StreamSession(
+            needed_folds=needed_folds, stride=stride, fold_T=fold_T,
+            wave_len=wave_len, mels_f=mels_f, aux_f=aux_f,
+        )
+
+    def _stream_setup(self, mels, target: int, overlap: int, seed: int):
+        """Shared streaming front-end: open a session and build the
+        per-group fold decoder over it; return
+        ``(decode_group, needed_folds, stride, wave_len)``.
+
+        Both :meth:`stream` and :meth:`stream_oneshot` run their folds
+        through THIS closure, so the two differ only in finalization — which
+        is exactly the invariant ``tools/stream_latency.py`` asserts.
+        """
+        sess = self.open_stream_session(mels, target, overlap)
+        stride = sess.stride
+
+        if self.backend == "pallas":
             group_fn = self._get_stream_group()
 
             def decode_group(g0, g1):
@@ -594,25 +720,23 @@ class Generator:
                 starts = np.zeros(n_pad, np.int32)
                 starts[:n] = np.arange(g0, g1, dtype=np.int32) * stride
                 return np.asarray(group_fn(
-                    self.weights, packed, jnp.asarray(starts),
+                    self.weights, sess.packed, jnp.asarray(starts),
                     jax.random.PRNGKey(seed + g0),
-                    fold_T=fold_T, T_pad=T_pad,
+                    fold_T=sess.fold_T, T_pad=sess.T_pad,
                 ))[:n]
         else:
-            mels_up, aux = self._upsample(self.variables, jnp.asarray(mels))
-            mels_f = fold_ops.fold_with_overlap(mels_up, target, overlap)
-            aux_f = fold_ops.fold_with_overlap(aux, target, overlap)
-
             def decode_group(g0, g1):
                 n = g1 - g0
                 n_pad = self._pad_folds(n)
-                mf = jnp.pad(mels_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
-                af = jnp.pad(aux_f[g0:g1], ((0, n_pad - n), (0, 0), (0, 0)))
+                mf = jnp.pad(sess.mels_f[g0:g1],
+                             ((0, n_pad - n), (0, 0), (0, 0)))
+                af = jnp.pad(sess.aux_f[g0:g1],
+                             ((0, n_pad - n), (0, 0), (0, 0)))
                 return np.asarray(self._decode(
                     self.weights, mf, af, jax.random.PRNGKey(seed + g0)
                 ))[:n]
 
-        return decode_group, needed_folds, stride, wave_len
+        return decode_group, sess.needed_folds, stride, sess.wave_len
 
     def stream(self, mels, target: int, overlap: int, mu_law: bool,
                group: int = 16, seed: int = 0):
@@ -631,49 +755,16 @@ class Generator:
         A position is final once every fold overlapping it has decoded, so
         after group g the stream emits up to the next group's seam start.
         """
-        c = self.cfg
-        mu_law = mu_law if c.mode == "RAW" else False
+        mu_law = mu_law if self.cfg.mode == "RAW" else False
         decode_group, needed_folds, stride, wave_len = self._stream_setup(
             mels, target, overlap, seed)
-
-        prev_fold = None  # raw samples of the last fold already decoded
-        emitted = 0
+        fin = _IncrementalUnfold(self, needed_folds, stride, wave_len,
+                                 overlap, mu_law)
         for g0 in range(0, needed_folds, group):
-            g1 = min(g0 + group, needed_folds)
-            samples = decode_group(g0, g1)
-
-            # finalize THIS group plus one fold of left context
-            if prev_fold is None:
-                window, base = samples, 0
-            else:
-                window = np.concatenate([prev_fold[None], samples], axis=0)
-                base = (g0 - 1) * stride
-            n_win = window.shape[0]
-            n_win_pad = _round_up(n_win, self.fold_bucket)
-            window_p = np.pad(window, ((0, n_win_pad - n_win), (0, 0)))
-            unfolded = np.asarray(
-                self._finalize(
-                    jnp.asarray(window_p), jnp.asarray(n_win, jnp.int32),
-                    mu_law=mu_law, batched=True, overlap=overlap,
-                    n_classes=c.n_classes,
-                ),
-                dtype=np.float64,
-            )
-            prev_fold = samples[-1]
-
-            final_upto = wave_len if g1 >= needed_folds else min(
-                wave_len, g1 * stride
-            )
-            chunk = unfolded[emitted - base: final_upto - base]
-            if g1 >= needed_folds:
-                fade_len = min(20 * c.hop_length, len(chunk))
-                if fade_len:
-                    chunk = chunk.copy()
-                    chunk[-fade_len:] *= np.linspace(1, 0, fade_len)
-            emitted = final_upto
+            chunk = fin.feed(decode_group(g0, min(g0 + group, needed_folds)))
             if len(chunk):
                 yield chunk
-            if emitted >= wave_len:
+            if fin.done:
                 return
 
     def stream_oneshot(self, mels, target: int, overlap: int, mu_law: bool,
