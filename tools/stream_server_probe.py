@@ -7,9 +7,10 @@ slot-buffer path on hardware:
     must EXACTLY equal that session's own Generator.stream (same gathered
     conditioning rows out of the shared buffer, same kernel, same
     incremental crossfade);
-  * serving — 4 concurrent ~24 s utterances, stochastic decode: aggregate
-    synthesis rate, per-wall-clock realtime factor, and mean inter-chunk
-    cadence per session.
+  * serving — N concurrent ~24 s utterances (sweep over --sessions,
+    default "4,16"), stochastic decode: aggregate synthesis rate,
+    per-wall-clock realtime factor, and mean inter-chunk cadence per
+    session.  aggregate_xrt / N = each stream's realtime margin.
 
 Prints one JSON line.  Run on TPU:  python tools/stream_server_probe.py
 """
@@ -61,38 +62,50 @@ def main():
         np.max(np.abs(g - w)) for g, w in zip(served, solo)))
     out["parity_launches"] = srv.launches
 
-    # -- serving: 4 concurrent 24 s stochastic streams ---------------------
+    # -- serving sweep: N concurrent 24 s stochastic streams ---------------
+    arg = "4,16"
+    if "--sessions" in sys.argv:
+        arg = sys.argv[sys.argv.index("--sessions") + 1]
+    counts = [int(x) for x in arg.split(",")]
     gen = Generator(cfg, variables, backend="pallas", fold_bucket=16)
     T_mel = 1920  # ~24 s
-    mels4 = [rng.uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
-             for _ in range(4)]
-    srv = StreamServer(gen, target=target, overlap=overlap, mu_law=False,
-                       group=group, width=64, capacity=4, slot_seconds=30.0)
-    for m in mels4:  # compile warmup: admit + one step + drain
-        srv.add(m)
-    while srv.active:
-        srv.step()
+    sweep = []
+    for n_sess in counts:
+        mels_n = [rng.uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
+                  for _ in range(n_sess)]
+        kw = dict(target=target, overlap=overlap, mu_law=False, group=group,
+                  width=64, capacity=n_sess, slot_seconds=25.0)
+        srv = StreamServer(gen, **kw)
+        for m in mels_n:  # compile warmup: admit + drain
+            srv.add(m)
+        while srv.active:
+            srv.step()
 
-    srv = StreamServer(gen, target=target, overlap=overlap, mu_law=False,
-                       group=group, width=64, capacity=4, slot_seconds=30.0,
-                       seed=7)
-    t0 = time.time()
-    sids = [srv.add(m) for m in mels4]
-    chunk_times = {sid: [] for sid in sids}
-    n_samples = 0
-    while srv.active:
-        for sid, ch in srv.step().items():
-            chunk_times[sid].append(time.time() - t0)
-            n_samples += len(ch)
-    dt = time.time() - t0
-    gaps = [np.diff([0.0] + ts) for ts in chunk_times.values() if ts]
-    out["concurrent_sessions"] = len(mels4)
-    out["aggregate_khz"] = round(n_samples / dt / 1e3, 1)
-    out["aggregate_xrt"] = round(n_samples / cfg.sample_rate / dt, 1)
-    out["mean_chunk_gap_ms"] = round(
-        float(np.mean(np.concatenate(gaps))) * 1e3, 1)
-    out["audio_s_total"] = round(n_samples / cfg.sample_rate, 2)
-    out["wall_s"] = round(dt, 2)
+        srv = StreamServer(gen, seed=7, **kw)
+        t0 = time.time()
+        sids = [srv.add(m) for m in mels_n]
+        chunk_times = {sid: [] for sid in sids}
+        n_samples = 0
+        while srv.active:
+            for sid, ch in srv.step().items():
+                chunk_times[sid].append(time.time() - t0)
+                n_samples += len(ch)
+        dt = time.time() - t0
+        gaps = [np.diff([0.0] + ts) for ts in chunk_times.values() if ts]
+        xrt = n_samples / cfg.sample_rate / dt
+        sweep.append({
+            "concurrent_sessions": n_sess,
+            "aggregate_khz": round(n_samples / dt / 1e3, 1),
+            "aggregate_xrt": round(xrt, 1),
+            "per_stream_xrt": round(xrt / n_sess, 1),
+            "mean_chunk_gap_ms": round(
+                float(np.mean(np.concatenate(gaps))) * 1e3, 1),
+            "audio_s_total": round(n_samples / cfg.sample_rate, 2),
+            "wall_s": round(dt, 2),
+        })
+    out["sweep"] = sweep
+    # headline fields = first sweep entry (the tpu-tier test's contract)
+    out.update({k: v for k, v in sweep[0].items()})
     print(json.dumps(out))
 
 
