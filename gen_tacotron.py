@@ -50,6 +50,10 @@ def main():
     parser.add_argument("--no_int8", action="store_true",
                         help="disable int8 weight streaming in the pallas "
                              "vocoder kernel (pure bf16 weights)")
+    parser.add_argument("--mesh", "-m", action="store_true",
+                        help="shard the vocoder's fold axis over the device "
+                             "mesh (multi-chip sequence-parallel decode; "
+                             "uses hp.mesh_shape when set)")
     parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",
                         help="the file to use for the hyperparameters")
     parser.set_defaults(input_text=None)
@@ -86,6 +90,14 @@ def main():
     print("Using device:", jax.devices()[0])
 
     paths = Paths(hp.data_path, hp.voc_model_id, hp.tts_model_id)
+
+    mesh = None
+    if args.mesh and args.vocoder == "wavernn":
+        from wavernn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(hp.mesh_shape)
+        print(f"Decode mesh: data={mesh.n_data} model={mesh.n_model} "
+              f"({len(jax.devices())} devices)")
 
     voc_state = voc_cfg = None
     if args.vocoder == "wavernn":
@@ -159,7 +171,7 @@ def main():
             save_attention(attention, save_path, save_raw=True)
 
         if args.vocoder == "wavernn":
-            gen = make_generator(voc_cfg, voc_state)
+            gen = make_generator(voc_cfg, voc_state, mesh=mesh)
             wav = gen(m, batched=args.batched, target=args.target,
                       overlap=args.overlap, mu_law=hp.mu_law)
             audio.save_wav(wav, save_path)
