@@ -98,3 +98,66 @@ def test_server_least_progress_scheduling():
     srv.add(_mel(cfg, 150, 1))
     items, _ = srv._schedule()
     assert items[0][0].sid == 1  # the fresh session goes first
+
+
+def _tiny_pipeline():
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.infer.pipeline import TTSPipeline
+    from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.text.symbols import symbols
+
+    tts_cfg = TacotronConfig(
+        embed_dims=16, num_chars=len(symbols), encoder_dims=16,
+        decoder_dims=32, n_mels=80, fft_bins=80, postnet_dims=16,
+        encoder_K=3, lstm_dims=32, postnet_K=3, num_highways=2,
+    )
+    tts = Tacotron(tts_cfg)
+    tts_vars = tts.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 10, 80)), 5, True,
+    )
+    voc_cfg = WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=9, pad=2, upsample_factors=(5, 5, 11),
+        feat_dims=80, compute_dims=16, res_out_dims=16, res_blocks=1,
+        mode="RAW",
+    )
+    voc = WaveRNN(voc_cfg)
+    voc_vars = voc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 275)), jnp.zeros((1, 5, 80)), True
+    )
+    return TTSPipeline(tts_cfg, tts_vars, voc_cfg, voc_vars,
+                       cleaner_names=["english_cleaners"], r=5,
+                       backend="scan", tts_steps=20, deterministic=True)
+
+
+def test_tts_stream_server_matches_unmultiplexed_two_stage():
+    """Concurrent text→speech sessions: each session's chunk-concatenated
+    audio equals the unmultiplexed two-stage path (tts → mel →
+    Generator.stream) with deterministic decode, and the vocoder launches
+    are co-batched across sessions."""
+    from wavernn_tpu.infer.stream_server import TTSStreamServer
+    from wavernn_tpu.text import text_to_sequence
+
+    pipe = _tiny_pipeline()
+    texts = ["hello world", "hi there", "ok then"]
+
+    solo = []
+    for t in texts:
+        seq = text_to_sequence(t.strip(), ["english_cleaners"])
+        _, m_linear, _ = pipe.tts(seq, r=5)
+        mel = np.clip((m_linear + 4) / 8, 0, 1)
+        solo.append(np.concatenate(list(pipe.voc.stream(
+            mel, target=TARGET, overlap=OVERLAP, mu_law=True, group=2))))
+
+    srv = TTSStreamServer(pipe, target=TARGET, overlap=OVERLAP, mu_law=True,
+                          group=2, width=8, capacity=2)
+    served = srv.run(texts)
+
+    assert srv.server.launches > 0
+    for got, want in zip(served, solo):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    assert not srv.active

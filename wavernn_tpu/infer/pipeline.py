@@ -30,19 +30,23 @@ class TTSPipeline:
       backend: WaveRNN decode backend ('pallas' on TPU, 'scan' elsewhere).
       int8_gates: int8 weight streaming in the pallas vocoder kernel
         (default on; measured faster with quality-gated deltas).
+      deterministic: mode/argmax vocoder draws instead of sampling
+        (reproducible serving; used by equality tests).
     """
 
     def __init__(self, tts_cfg: TacotronConfig, tts_variables,
                  voc_cfg: WaveRNNConfig, voc_variables,
                  cleaner_names: Sequence[str], r: int,
                  backend: str = "scan", tts_steps: int = 2000,
-                 tts_backend: str = "auto", int8_gates: bool = True):
+                 tts_backend: str = "auto", int8_gates: bool = True,
+                 deterministic: bool = False):
         self.r = r
         self.cleaners = list(cleaner_names)
         self.tts = TTSGenerator(tts_cfg, tts_variables, steps=tts_steps,
                                 backend=tts_backend)
         self.voc = Generator(voc_cfg, voc_variables, backend=backend,
-                             fold_bucket=16, int8_gates=int8_gates)
+                             fold_bucket=16, int8_gates=int8_gates,
+                             deterministic=deterministic)
 
     def __call__(self, texts: Sequence[str], target: int = 11_000,
                  overlap: int = 550, mu_law: bool = True,

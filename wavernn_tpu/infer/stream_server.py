@@ -34,6 +34,10 @@ each session is sample-for-sample identical to that session's own
 probe tools/stream_server_probe.py.  (Stochastic decode draws per-launch
 keys, so sampled outputs depend on batch composition, as any co-batching
 server's do.)
+
+:class:`TTSStreamServer` layers the Tacotron stage on top: concurrent
+text→speech sessions, each text's mel decode dispatched asynchronously on
+admission and its vocoding co-batched with every other session's.
 """
 
 from __future__ import annotations
@@ -249,3 +253,103 @@ class StreamServer:
             for sid, chunk in self.step().items():
                 pieces[sid].append(chunk)
         return [np.concatenate(pieces[sid]) for sid in sids]
+
+
+class TTSStreamServer:
+    """Multi-session TWO-STAGE streaming server: concurrent text→speech
+    sessions on one chip, audio chunks out as they decode.
+
+    Composes the async Tacotron decode (``TTSGenerator.submit`` — the whole
+    text→mel decode is one device-queued program) with the vocoder
+    :class:`StreamServer` (concurrent sessions' fold rows co-batched into
+    one decoder launch per step).  A session admitted with :meth:`add` has
+    its text→mel decode dispatched immediately; :meth:`step` drains finished
+    mel decodes into vocoder slots as capacity frees, then serves one
+    co-batched vocoder launch, returning each session's newly-final audio.
+
+    The reference's closest surface synthesizes one utterance at a time,
+    end to end, with no streaming (ref: gen_tacotron.py:139-166).
+
+    Notes
+    -----
+    * Collecting a finished TTS decode blocks on its device→host mel
+      transfer (~tens of ms over a relay); the admit phase only collects
+      the OLDEST pending decode and only when a vocoder slot is free, so
+      the hiccup is bounded and paid once per session.
+    * A text whose mel is too short to produce audio (the model stops
+      immediately) completes with a single empty chunk rather than raising.
+    * ``deterministic`` generators make each session's audio identical to
+      the unmultiplexed two-stage path (asserted by
+      tests/test_stream_server.py).
+    """
+
+    def __init__(self, pipeline, target: int, overlap: int, mu_law: bool,
+                 group: int = 16, width: int = 64, capacity: int = 4,
+                 slot_seconds: float = 30.0, seed: int = 0):
+        from wavernn_tpu.infer.pipeline import TTSPipeline
+
+        assert isinstance(pipeline, TTSPipeline), type(pipeline)
+        self.pipeline = pipeline
+        self.server = StreamServer(
+            pipeline.voc, target=target, overlap=overlap, mu_law=mu_law,
+            group=group, width=width, capacity=capacity,
+            slot_seconds=slot_seconds, seed=seed)
+        self._tts_pending: "List[tuple]" = []   # (sid, tts handle), FIFO
+        self._voc_to_sid: Dict[int, int] = {}
+        self._next_sid = 0
+
+    def add(self, text: str) -> int:
+        """Admit a text; its text→mel decode is dispatched immediately.
+        Returns the session id."""
+        from wavernn_tpu.text import text_to_sequence
+
+        seq = text_to_sequence(text.strip(), self.pipeline.cleaners)
+        handle = self.pipeline.tts.submit(seq, r=self.pipeline.r)
+        sid = self._next_sid
+        self._next_sid += 1
+        self._tts_pending.append((sid, handle))
+        return sid
+
+    @property
+    def active(self) -> List[int]:
+        return sorted([sid for sid, _ in self._tts_pending]
+                      + list(self._voc_to_sid.values()))
+
+    def step(self) -> Dict[int, np.ndarray]:
+        """Admit finished mel decodes into free vocoder slots, then decode
+        ONE co-batched vocoder launch.  Returns each served session's
+        newly-final audio (an empty array marks a session whose mel was too
+        short to produce any)."""
+        out: Dict[int, np.ndarray] = {}
+        while (self._tts_pending
+               and len(self.server._sessions) < self.server.capacity):
+            sid, handle = self._tts_pending.pop(0)
+            _, m_linear, _ = self.pipeline.tts.collect(handle)
+            mel = np.clip((m_linear + 4) / 8, 0, 1)
+            try:
+                voc_sid = self.server.add(mel)
+            except ValueError:  # sub-hop mel: nothing to vocode
+                out[sid] = np.zeros(0, np.float64)
+                continue
+            self._voc_to_sid[voc_sid] = sid
+        served = self.server.step()
+        for voc_sid in list(self._voc_to_sid):
+            sid = self._voc_to_sid[voc_sid]
+            if voc_sid in served:
+                out[sid] = served[voc_sid]
+            if voc_sid not in self.server._sessions:  # finished: unmap,
+                # and surface completion even on an empty final chunk
+                del self._voc_to_sid[voc_sid]
+                out.setdefault(sid, np.zeros(0, np.float64))
+        return out
+
+    def run(self, texts) -> List[np.ndarray]:
+        """Convenience driver: admit every text, step until all sessions
+        complete, return each text's full waveform in input order."""
+        sids = [self.add(t) for t in texts]
+        pieces: Dict[int, List[np.ndarray]] = {sid: [] for sid in sids}
+        while self.active:
+            for sid, chunk in self.step().items():
+                pieces[sid].append(chunk)
+        return [np.concatenate(pieces[sid]) if pieces[sid]
+                else np.zeros(0, np.float64) for sid in sids]
