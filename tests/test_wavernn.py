@@ -154,6 +154,31 @@ def test_int16_output_matches_float_path():
     assert (pcm.astype(np.float64) == expect).mean() > 0.99
 
 
+def test_generate_batch_int16_matches_float_path():
+    """Co-batched serving with output_dtype='int16' (device-side per-
+    utterance tail fade + PCM quantization inside the single batch program)
+    must equal quantizing the float64 batch path's waveforms, to 1 LSB."""
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    rng = np.random.default_rng(11)
+    mels = [rng.uniform(0, 1, (cfg.feat_dims, t)).astype(np.float32)
+            for t in (25, 40)]
+
+    kw = dict(target=2750, overlap=550, mu_law=True, seed=3)
+    f64 = Generator(cfg, variables, backend="scan",
+                    frame_bucket=16).generate_batch(mels, **kw)
+    pcm = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    output_dtype="int16").generate_batch(mels, **kw)
+    for w16, w64 in zip(pcm, f64):
+        assert w16.dtype == np.int16
+        assert w16.shape == w64.shape
+        expect = np.round(np.clip(w64, -1, 1) * 32767.0)
+        np.testing.assert_allclose(w16.astype(np.float64), expect, atol=1.0)
+        assert (w16.astype(np.float64) == expect).mean() > 0.99
+
+
 def test_generate_deterministic_given_seed():
     from wavernn_tpu.ops.decode import Generator
 

@@ -86,23 +86,38 @@ def main():
                    jnp.zeros((1, 5, 80)), True)
     w = extract_decode_weights(v["params"])
     rng = np.random.default_rng(0)
-    mf = jnp.asarray(rng.uniform(0, 1, (B, T, 80)), jnp.float32)
-    af = jnp.asarray(rng.uniform(0, 1, (B, T, 128)), jnp.float32)
+    # production conditions: prebuilt packed conditioning (the Generator
+    # fuses packing separately), int8 gate/FC weights, PIPELINED timing —
+    # K back-to-back dispatches with only the last fetched, so the relay
+    # RTT and the result transfer amortize over K programs instead of
+    # polluting every per-step number.
+    B_pad = pallas_decode._round_up(max(B, 16), 16)
+    cond = jnp.asarray(
+        rng.uniform(-1, 1, (pallas_decode._round_up(T, 128), B_pad,
+                            pallas_decode.SEG)), jnp.bfloat16)
+    K = 6  # dispatches per timed pass
 
     def run(name, **kw):
+        kw.setdefault("int8_gates", True)
         fn = lambda s: pallas_decode.decode(
-            w, mf, af, jax.random.PRNGKey(s), mode="MOL", n_classes=30, **kw)
+            w, None, None, jax.random.PRNGKey(s), mode="MOL", n_classes=30,
+            cond=cond, out_T=T, **kw)
         np.asarray(fn(0))  # compile + warm
-        best = min(
-            (lambda t0: (np.asarray(fn(s + 1)), time.time() - t0)[1])(
-                time.time())
-            for s in range(2)
-        )
-        print(f"{name:38s} {best:.3f}s = {best / T * 1e6:5.2f} us/step")
-        return best
 
-    full = run("full kernel (MOL stochastic)")
-    print(f"non-matmul share: {(full - dt) / full * 100:.0f}%")
+        def one_pass(p):
+            t0 = time.time()
+            outs = [fn(p * K + k + 1) for k in range(K)]
+            np.asarray(outs[-1])  # device executes in order
+            return time.time() - t0
+
+        best = min(one_pass(p) for p in range(2))
+        per = best / (K * T) * 1e6
+        print(f"{name:38s} {best:.3f}s/{K} = {per:5.2f} us/step")
+        return per
+
+    full = run("full kernel (MOL stochastic, int8)")
+    print(f"bf16 matmul-floor share: {dt / T * 1e6 / full * 100:.0f}%")
+    run("  bf16 weights", int8_gates=False)
     run("  deterministic (no PRNG/sampling rng)", deterministic=True)
     run("  ablate sampling entirely", ablate=frozenset({"sample"}))
     run("  ablate gru gate nonlinearity", ablate=frozenset({"gates"}))
@@ -117,6 +132,7 @@ def main():
     for b_tile in (32, 128):
         if B >= b_tile or b_tile >= B:
             run(f"  b_tile={b_tile}", b_tile=b_tile)
+    run("  out_xpose=block", out_xpose="block")
 
 
 if __name__ == "__main__":

@@ -386,7 +386,7 @@ class Generator:
 
         @partial(jax.jit, static_argnames=("t_buckets", "target", "overlap",
                                            "fold_counts", "mu_law"))
-        def batch_pipeline(variables, weights, batch_mels, key, *,
+        def batch_pipeline(variables, weights, batch_mels, wave_lens, key, *,
                            t_buckets: tuple, target: int, overlap: int,
                            fold_counts: tuple, mu_law: bool):
             """The whole multi-utterance serve as ONE program: batched
@@ -394,7 +394,9 @@ class Generator:
             with offsets, one fold gather, one decode over every utterance's
             folds, and per-utterance crossfade finalization.  The jit cache
             keys on the tuple of bucketed frame counts, so same-shaped
-            batches reuse the program."""
+            batches reuse the program.  ``wave_lens`` (traced, (N,) int32)
+            carries each utterance's true sample count for the device-side
+            tail fade of the int16 serving output."""
             from wavernn_tpu.ops import pallas_decode
 
             fold_T = target + 2 * overlap
@@ -404,12 +406,12 @@ class Generator:
                 # one concatenated output array → a single host transfer;
                 # per-utterance boundaries are static (fold_counts)
                 waves, o = [], 0
-                for nf in fold_counts:
-                    waves.append(finalize(
+                for i, nf in enumerate(fold_counts):
+                    waves.append(maybe_pcm16(finalize(
                         samples[o: o + nf], jnp.asarray(nf, jnp.int32),
                         mu_law=mu_law, batched=True, overlap=overlap,
                         n_classes=cfg.n_classes,
-                    ))
+                    ), wave_lens[i]))
                     o += nf
                 return jnp.concatenate(waves)
 
@@ -576,7 +578,10 @@ class Generator:
         then unfolded per utterance.  Beyond the reference's one-utterance
         generate — this is the production batching path.
 
-        Returns a list of float64 waveforms.
+        Returns a list of waveforms: float64 (default) / float32, or
+        device-faded 16-bit PCM when the Generator was built with
+        ``output_dtype='int16'`` (one int16 transfer for the whole batch —
+        the bandwidth-lean co-batched serving path, see bench.py).
         """
         c = self.cfg
         mu_law = mu_law if c.mode == "RAW" else False
@@ -613,12 +618,16 @@ class Generator:
             fold_counts.append(num_folds)
             meta[0] = num_folds  # metas becomes (num_folds, wave_len)
 
-        flat = np.asarray(self._batch_pipeline(
+        out_dev = self._batch_pipeline(
             self.variables, self.weights, jnp.asarray(batch),
+            jnp.asarray([wl for _, wl in metas], jnp.int32),
             jax.random.PRNGKey(seed),
             t_buckets=tuple(t_buckets), target=target, overlap=overlap,
             fold_counts=tuple(fold_counts), mu_law=mu_law,
-        ), dtype=np.float64)  # one transfer for the whole batch
+        )
+        host_dtype = (np.int16 if self.output_dtype == "int16"
+                      else np.dtype(self.output_dtype))
+        flat = np.asarray(out_dev, dtype=host_dtype)  # ONE transfer for all
 
         stride = target + overlap
         outputs, o = [], 0
@@ -626,9 +635,10 @@ class Generator:
             seg_len = num_folds * stride + overlap
             out = flat[o: o + wave_len].copy()
             o += seg_len
-            fade_len = min(20 * c.hop_length, len(out))
-            if fade_len:
-                out[-fade_len:] *= np.linspace(1, 0, fade_len)
+            if self.output_dtype != "int16":  # int16: faded on device
+                fade_len = min(20 * c.hop_length, len(out))
+                if fade_len:
+                    out[-fade_len:] *= np.linspace(1, 0, fade_len)
             outputs.append(out)
         return outputs
 

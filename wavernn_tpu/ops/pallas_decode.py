@@ -84,6 +84,7 @@ def _decode_kernel(
     unroll: int = UNROLL,
     ablate: frozenset = frozenset(),
     int8_gates: bool = False,
+    out_xpose: str = "step",
 ):
     names = _weight_order(int8_gates)
     ws = dict(zip(names, rest))
@@ -323,7 +324,12 @@ def _decode_kernel(
                 # rows are steps: each block is ONE aligned (U, L_pad)
                 # sublane store — no zero/roll/RMW of the chunk tile.  The
                 # caller transposes (T, B) → (B, T) outside the kernel.
-                blk = jnp.concatenate([s.T for s in samples], axis=0)
+                if out_xpose == "block":
+                    # ONE (B, U) → (U, B) transpose per block instead of U
+                    # per-step (B,1) → (1,B) transposes (lane concat is free)
+                    blk = jnp.concatenate(samples, axis=1).T
+                else:
+                    blk = jnp.concatenate([s.T for s in samples], axis=0)
                 out_vmem[slot, pl.ds(pl.multiple_of(jb * UNROLL_, UNROLL_),
                                      UNROLL_), :] = jnp.pad(
                     blk, ((0, 0), (0, L_PAD - B)))
@@ -531,7 +537,7 @@ def _weight_order(int8_gates: bool):
     jax.jit,
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
-                     "int8_gates"),
+                     "int8_gates", "out_xpose"),
 )
 def decode(
     weights: DecodeWeights,
@@ -549,6 +555,7 @@ def decode(
     cond: jnp.ndarray = None,   # prebuilt (T_pad, B_pad, SEG) bf16 stream
     out_T: int = None,          # real step count when cond is prebuilt
     int8_gates: bool = False,   # int8 GRU gate weights (see pack_weights)
+    out_xpose: str = "step",    # dev A/B: per-step vs per-block out transpose
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -596,7 +603,7 @@ def decode(
         _decode_kernel,
         T=T_pad, mode=mode, n_classes=n_classes, deterministic=deterministic,
         chunk=chunk, unroll=unroll, ablate=ablate,
-        int8_gates=int8_gates,
+        int8_gates=int8_gates, out_xpose=out_xpose,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
