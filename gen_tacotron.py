@@ -47,6 +47,10 @@ def main():
                         default="auto",
                         help="decoder backend: fused Pallas kernel (TPU, "
                              "B=1 latency path) or the XLA scan")
+    parser.add_argument("--int8", action="store_true",
+                        help="enable int8 weight streaming in the pallas "
+                             "decode kernel (off by default: measured "
+                             "slower than bf16 at production fold widths)")
     parser.add_argument("--no_int8", action="store_true",
                         help="disable int8 weight streaming in the pallas "
                              "vocoder kernel (pure bf16 weights)")
@@ -75,7 +79,8 @@ def main():
     args = parser.parse_args()
     args.vocoder = "griffinlim" if args.vocoder in ("griffinlim", "gl") else "wavernn"
 
-    overrides = {"gen_int8": False} if args.no_int8 else {}
+    overrides = ({"gen_int8": False} if args.no_int8
+                 else {"gen_int8": True} if args.int8 else {})
     hp.configure(args.hp_file, **overrides)
     if args.vocoder == "wavernn":
         if args.target is None:

@@ -46,6 +46,10 @@ def main():
                         help="shard batched decode's fold axis over all "
                              "devices (multi-chip sequence-parallel "
                              "generation; uses hp.mesh_shape when set)")
+    parser.add_argument("--int8", action="store_true",
+                        help="enable int8 weight streaming in the pallas "
+                             "decode kernel (off by default: measured "
+                             "slower than bf16 at production fold widths)")
     parser.add_argument("--no_int8", action="store_true",
                         help="disable int8 weight streaming in the pallas decode "
                              "kernel (pure bf16 weights)")
@@ -54,7 +58,8 @@ def main():
     parser.set_defaults(batched=None)
     args = parser.parse_args()
 
-    overrides = {"gen_int8": False} if args.no_int8 else {}
+    overrides = ({"gen_int8": False} if args.no_int8
+                 else {"gen_int8": True} if args.int8 else {})
     hp.configure(args.hp_file, **overrides)
     if args.target is None:
         args.target = hp.voc_target

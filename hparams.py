@@ -107,6 +107,8 @@ tts_checkpoint_every = 2_000
 
 mesh_shape = None                        # e.g. {"data": 4, "model": 2}; None = all-data
 gen_use_pallas = True                    # fused Pallas decode kernel when on TPU
-gen_int8 = True                          # int8 GRU/FC weight streaming in the kernel
-                                         # (measured faster + quality-gated; set False
-                                         # or pass --no_int8 for pure-bf16 weights)
+gen_int8 = False                         # int8 GRU/FC weight streaming in the kernel.
+                                         # OFF since round 3: pipelined A/Bs show int8
+                                         # SLOWER than bf16 at every production fold
+                                         # width (docs/ROADMAP.md); pass --int8 or set
+                                         # True to re-enable the quantized path

@@ -93,7 +93,7 @@ def main():
     # polluting every per-step number.
     B_pad = pallas_decode._round_up(max(B, 16), 16)
     cond = jnp.asarray(
-        rng.uniform(-1, 1, (pallas_decode._round_up(T, 128), B_pad,
+        rng.uniform(-1, 1, (pallas_decode._round_up(T, 256), B_pad,
                             pallas_decode.SEG)), jnp.bfloat16)
     K = 6  # dispatches per timed pass
 

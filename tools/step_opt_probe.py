@@ -1,0 +1,75 @@
+"""Decode-kernel step-time experiments at production shapes.
+
+Pipelined timing (K back-to-back dispatches, last fetched) of the candidate
+per-step optimizations surfaced by the reworked kernel-breakdown numbers
+(gate transcendentals 1.16 us, sampling 0.64 us, int8-vs-bf16 reversal):
+
+  * int8 vs bf16 weight streaming, at the bench fold width (48) and 64
+  * sigmoid-via-tanh gate lowering (same function, different op sequence)
+  * maxmask MOL mixture selection (skip the argmax/iota chain)
+  * combinations of the winners
+
+Run on TPU:  python tools/step_opt_probe.py [B] [T]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 12160
+
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.ops import pallas_decode
+    from wavernn_tpu.ops.decode import extract_decode_weights
+
+    cfg = WaveRNNConfig()
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                   jnp.zeros((1, 5, 80)), True)
+    w = extract_decode_weights(v["params"])
+
+    B_pad = pallas_decode._round_up(max(B, 16), 16)
+    cond = jax.block_until_ready(jax.jit(
+        lambda k: jax.random.uniform(
+            k, (pallas_decode._round_up(T, 256), B_pad, pallas_decode.SEG),
+            jnp.bfloat16, -1, 1)
+    )(jax.random.PRNGKey(0)))
+    K = 6
+
+    def run(name, **kw):
+        fn = lambda s: pallas_decode.decode(
+            w, None, None, jax.random.PRNGKey(s), mode="MOL", n_classes=30,
+            cond=cond, out_T=T, **kw)
+        np.asarray(fn(0))
+
+        def one_pass(p):
+            t0 = time.time()
+            outs = [fn(p * K + k + 1) for k in range(K)]
+            np.asarray(outs[-1])
+            return time.time() - t0
+
+        best = min(one_pass(p) for p in range(3))
+        print(f"{name:44s} {best / (K * T) * 1e6:5.2f} us/step")
+
+    run("int8 (production default)", int8_gates=True)
+    run("bf16", int8_gates=False)
+    run("int8 + gate_act=tanh", int8_gates=True, gate_act="tanh")
+    run("bf16 + gate_act=tanh", int8_gates=False, gate_act="tanh")
+    run("int8 + mol maxmask", int8_gates=True, mol_select="maxmask")
+    run("bf16 + tanh + maxmask", int8_gates=False, gate_act="tanh",
+        mol_select="maxmask")
+    run("int8 + tanh + maxmask", int8_gates=True, gate_act="tanh",
+        mol_select="maxmask")
+
+
+if __name__ == "__main__":
+    main()

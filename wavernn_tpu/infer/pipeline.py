@@ -28,7 +28,7 @@ class TTSPipeline:
       cleaner_names: text-normalization pipelines.
       r: frames per decoder step (use the final curriculum r).
       backend: WaveRNN decode backend ('pallas' on TPU, 'scan' elsewhere).
-      int8_gates: int8 weight streaming in the pallas vocoder kernel
+      int8_gates: opt-in int8 weight streaming in the pallas vocoder kernel
         (default on; measured faster with quality-gated deltas).
       deterministic: mode/argmax vocoder draws instead of sampling
         (reproducible serving; used by equality tests).
@@ -38,7 +38,7 @@ class TTSPipeline:
                  voc_cfg: WaveRNNConfig, voc_variables,
                  cleaner_names: Sequence[str], r: int,
                  backend: str = "scan", tts_steps: int = 2000,
-                 tts_backend: str = "auto", int8_gates: bool = True,
+                 tts_backend: str = "auto", int8_gates: bool = False,
                  deterministic: bool = False):
         self.r = r
         self.cleaners = list(cleaner_names)

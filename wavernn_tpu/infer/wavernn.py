@@ -38,7 +38,7 @@ def make_generator(cfg: WaveRNNConfig, state, backend: str = None,
         on_tpu = jax.devices()[0].platform == "tpu"
         backend = "pallas" if (on_tpu and hp.get("gen_use_pallas", True)) else "scan"
     if int8_gates is None:
-        int8_gates = bool(hp.get("gen_int8", True))
+        int8_gates = bool(hp.get("gen_int8", False))
     key = (cfg, backend, int8_gates, id(mesh) if mesh is not None else None)
     gen = _GENERATOR_CACHE.get(key)
     if gen is None:

@@ -254,18 +254,21 @@ class Generator:
 
     def __init__(self, cfg: WaveRNNConfig, variables, backend: str = "scan",
                  fold_bucket: int = 4, frame_bucket: int = 32,
-                 int8_gates: bool = True, mesh=None,
+                 int8_gates: bool = False, mesh=None,
                  deterministic: bool = False,
                  output_dtype: str = "float64"):
         self.cfg = cfg
         self.variables = variables
         self.model = WaveRNN(cfg)
         self.backend = backend
-        # pallas only: stream the big GRU matrices as int8 — the kernel is
-        # weight-streaming bound, so this moves the matmul floor (~9% gen
-        # rate).  Default ON: copy-synthesis MCD delta vs the bf16 kernel
-        # measured at -1.4 (inside the +/-5..11 seed spread) by
-        # tools/kernel_quality.py; see pallas_decode.pack_weights.
+        # pallas only: stream the big GRU/FC matrices as int8.  Default
+        # OFF since round 3: clean pipelined timing (tools/step_opt_probe.py)
+        # shows int8 SLOWER than bf16 at every production fold width (4.16
+        # vs 3.61 us/step at 48 folds, 2.94 vs 2.61 at 16) — the per-row
+        # dynamic activation-quantization chain costs more than the byte
+        # savings; round 2's adoption was based on relay-noisy single-
+        # dispatch A/Bs.  Kept as an opt-in for future hardware/width
+        # regimes; see pallas_decode.pack_weights.
         self.int8_gates = int8_gates
         # mesh: a parallel.mesh.MeshPlan — batched decode shards the fold
         # axis over the mesh's 'data' axis (sequence-parallel generation:

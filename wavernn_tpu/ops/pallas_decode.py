@@ -85,6 +85,8 @@ def _decode_kernel(
     ablate: frozenset = frozenset(),
     int8_gates: bool = False,
     out_xpose: str = "step",
+    mol_select: str = "maxmask",
+    gate_act: str = "tanh",
 ):
     names = _weight_order(int8_gates)
     ws = dict(zip(names, rest))
@@ -176,9 +178,18 @@ def _decode_kernel(
         the hh-side n bias is scaled by r, so it stays separate."""
         if "gates" in ablate:  # dev ablation: linear state update
             return 0.5 * h + 0.01 * (gi[:, :H] + gh[:, :H])
+        if gate_act == "tanh":
+            # default: sigmoid(x) = 0.5*(tanh(x/2)+1) — the same function,
+            # but Mosaic's tanh lowering is cheaper than sigmoid's, and the
+            # gate transcendentals are the kernel's largest non-matmul cost
+            # (1.16 us/step of ~4.5 at B=64, tools/kernel_breakdown.py);
+            # measured -0.1..-0.2 us/step at narrow widths
+            sg = lambda x: 0.5 * jnp.tanh(0.5 * x) + 0.5
+        else:
+            sg = jax.nn.sigmoid
         tot = gi + b_r[...]
-        r = jax.nn.sigmoid(tot[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(tot[:, H:2 * H] + gh[:, H:2 * H])
+        r = sg(tot[:, :H] + gh[:, :H])
+        z = sg(tot[:, H:2 * H] + gh[:, H:2 * H])
         n = jnp.tanh(tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))
         return (1.0 - z) * n + z * h
 
@@ -279,6 +290,23 @@ def _decode_kernel(
                 )
                 if deterministic:
                     sel = _row_argmax(pi)
+                    idx = jax.lax.broadcasted_iota(jnp.int32, pi.shape, 1)
+                    onehot = (idx == sel).astype(jnp.float32)
+                elif mol_select == "maxmask":
+                    # default: skip the argmax/iota/compare chain — mask at
+                    # the max directly.  Equal to argmax selection except
+                    # exact f32 score ties (probability ~0 with Gumbel
+                    # noise; a tie averages the tied mixtures' parameters
+                    # for one sample).  Measured -0.07..-0.19 us/step
+                    # (tools/step_opt_probe.py).
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits((pi.shape[0], nm + 1)),
+                        jnp.uint32,
+                    )
+                    scores = pi + _gumbel(bits[:, :nm])
+                    mx = jnp.max(scores, axis=1, keepdims=True)
+                    hit = (scores >= mx).astype(jnp.float32)
+                    onehot = hit / jnp.sum(hit, axis=1, keepdims=True)
                 else:
                     # ONE PRNG call per step: lanes [0,nm) drive the Gumbel
                     # mixture pick, lane nm drives the logistic draw
@@ -287,8 +315,8 @@ def _decode_kernel(
                         jnp.uint32,
                     )
                     sel = _row_argmax(pi + _gumbel(bits[:, :nm]))
-                idx = jax.lax.broadcasted_iota(jnp.int32, pi.shape, 1)
-                onehot = (idx == sel).astype(jnp.float32)
+                    idx = jax.lax.broadcasted_iota(jnp.int32, pi.shape, 1)
+                    onehot = (idx == sel).astype(jnp.float32)
                 mean = jnp.sum(mu * onehot, axis=1, keepdims=True)
                 log_scale = jnp.sum(ls * onehot, axis=1, keepdims=True)
                 if deterministic:
@@ -537,7 +565,7 @@ def _weight_order(int8_gates: bool):
     jax.jit,
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
-                     "int8_gates", "out_xpose"),
+                     "int8_gates", "out_xpose", "mol_select", "gate_act"),
 )
 def decode(
     weights: DecodeWeights,
@@ -556,6 +584,8 @@ def decode(
     out_T: int = None,          # real step count when cond is prebuilt
     int8_gates: bool = False,   # int8 GRU gate weights (see pack_weights)
     out_xpose: str = "step",    # dev A/B: per-step vs per-block out transpose
+    mol_select: str = "maxmask",  # MOL mixture pick ("argmax" = legacy A/B)
+    gate_act: str = "tanh",       # GRU sigmoid lowering ("sigmoid" = legacy)
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -603,7 +633,8 @@ def decode(
         _decode_kernel,
         T=T_pad, mode=mode, n_classes=n_classes, deterministic=deterministic,
         chunk=chunk, unroll=unroll, ablate=ablate,
-        int8_gates=int8_gates, out_xpose=out_xpose,
+        int8_gates=int8_gates, out_xpose=out_xpose, mol_select=mol_select,
+        gate_act=gate_act,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
