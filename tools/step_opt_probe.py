@@ -60,15 +60,11 @@ def main():
         best = min(one_pass(p) for p in range(3))
         print(f"{name:44s} {best / (K * T) * 1e6:5.2f} us/step")
 
-    run("int8 (production default)", int8_gates=True)
-    run("bf16", int8_gates=False)
-    run("int8 + gate_act=tanh", int8_gates=True, gate_act="tanh")
-    run("bf16 + gate_act=tanh", int8_gates=False, gate_act="tanh")
-    run("int8 + mol maxmask", int8_gates=True, mol_select="maxmask")
-    run("bf16 + tanh + maxmask", int8_gates=False, gate_act="tanh",
-        mol_select="maxmask")
-    run("int8 + tanh + maxmask", int8_gates=True, gate_act="tanh",
-        mol_select="maxmask")
+    run("production default (bf16+tanh+maxmask)")
+    run("legacy argmax select", mol_select="argmax")
+    run("legacy sigmoid lowering", gate_act="sigmoid")
+    run("int8 weights", int8_gates=True)
+    run("bf16 gate transcendentals", gate_dtype="bf16")
 
 
 if __name__ == "__main__":

@@ -87,6 +87,7 @@ def _decode_kernel(
     out_xpose: str = "step",
     mol_select: str = "maxmask",
     gate_act: str = "tanh",
+    gate_dtype: str = "f32",
 ):
     names = _weight_order(int8_gates)
     ws = dict(zip(names, rest))
@@ -188,9 +189,20 @@ def _decode_kernel(
         else:
             sg = jax.nn.sigmoid
         tot = gi + b_r[...]
-        r = sg(tot[:, :H] + gh[:, :H])
-        z = sg(tot[:, H:2 * H] + gh[:, H:2 * H])
-        n = jnp.tanh(tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))
+        if gate_dtype == "bf16":
+            # dev A/B: evaluate the gate transcendentals in bf16 (inputs
+            # are f32 accumulations; only the nonlinearity and its output
+            # lose precision — state update math stays f32)
+            cast = lambda x: x.astype(jnp.bfloat16)
+            up = lambda x: x.astype(jnp.float32)
+            r = up(sg(cast(tot[:, :H] + gh[:, :H])))
+            z = up(sg(cast(tot[:, H:2 * H] + gh[:, H:2 * H])))
+            n = up(jnp.tanh(cast(
+                tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))))
+        else:
+            r = sg(tot[:, :H] + gh[:, :H])
+            z = sg(tot[:, H:2 * H] + gh[:, H:2 * H])
+            n = jnp.tanh(tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))
         return (1.0 - z) * n + z * h
 
     def chunk_body(chunk, _):
@@ -565,7 +577,8 @@ def _weight_order(int8_gates: bool):
     jax.jit,
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
-                     "int8_gates", "out_xpose", "mol_select", "gate_act"),
+                     "int8_gates", "out_xpose", "mol_select", "gate_act",
+                     "gate_dtype"),
 )
 def decode(
     weights: DecodeWeights,
@@ -586,6 +599,7 @@ def decode(
     out_xpose: str = "step",    # dev A/B: per-step vs per-block out transpose
     mol_select: str = "maxmask",  # MOL mixture pick ("argmax" = legacy A/B)
     gate_act: str = "tanh",       # GRU sigmoid lowering ("sigmoid" = legacy)
+    gate_dtype: str = "f32",      # dev A/B: gate transcendental precision
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -634,7 +648,7 @@ def decode(
         T=T_pad, mode=mode, n_classes=n_classes, deterministic=deterministic,
         chunk=chunk, unroll=unroll, ablate=ablate,
         int8_gates=int8_gates, out_xpose=out_xpose, mol_select=mol_select,
-        gate_act=gate_act,
+        gate_act=gate_act, gate_dtype=gate_dtype,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
