@@ -47,11 +47,12 @@ def main():
                         default="auto",
                         help="decoder backend: fused Pallas kernel (TPU, "
                              "B=1 latency path) or the XLA scan")
-    parser.add_argument("--int8", action="store_true",
+    int8_group = parser.add_mutually_exclusive_group()
+    int8_group.add_argument("--int8", action="store_true",
                         help="enable int8 weight streaming in the pallas "
                              "decode kernel (off by default: measured "
                              "slower than bf16 at production fold widths)")
-    parser.add_argument("--no_int8", action="store_true",
+    int8_group.add_argument("--no_int8", action="store_true",
                         help="disable int8 weight streaming in the pallas "
                              "vocoder kernel (pure bf16 weights)")
     parser.add_argument("--mesh", "-m", action="store_true",

@@ -46,11 +46,12 @@ def main():
                         help="shard batched decode's fold axis over all "
                              "devices (multi-chip sequence-parallel "
                              "generation; uses hp.mesh_shape when set)")
-    parser.add_argument("--int8", action="store_true",
+    int8_group = parser.add_mutually_exclusive_group()
+    int8_group.add_argument("--int8", action="store_true",
                         help="enable int8 weight streaming in the pallas "
                              "decode kernel (off by default: measured "
                              "slower than bf16 at production fold widths)")
-    parser.add_argument("--no_int8", action="store_true",
+    int8_group.add_argument("--no_int8", action="store_true",
                         help="disable int8 weight streaming in the pallas decode "
                              "kernel (pure bf16 weights)")
     parser.add_argument("--hp_file", metavar="FILE", default="hparams.py",

@@ -67,12 +67,14 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 12160
 
-    # 1. matmul-only floor
-    out = run_matmul_only(B, T)
-    np.asarray(out)
+    # 1. matmul-only floor — pipelined like everything else (K dispatches,
+    # last fetched) so the relay RTT doesn't pollute the per-step number
+    K0 = 6
+    np.asarray(run_matmul_only(B, T))  # compile + warm
     t0 = time.time()
-    np.asarray(run_matmul_only(B, T))
-    dt = time.time() - t0
+    outs = [run_matmul_only(B, T) for _ in range(K0)]
+    np.asarray(outs[-1])
+    dt = (time.time() - t0) / K0
     print(f"matmul-only floor: {dt:.3f}s = {dt / T * 1e6:.2f} us/step")
 
     # 2. full production kernel + ablation/tuning sweep
@@ -87,7 +89,8 @@ def main():
     w = extract_decode_weights(v["params"])
     rng = np.random.default_rng(0)
     # production conditions: prebuilt packed conditioning (the Generator
-    # fuses packing separately), int8 gate/FC weights, PIPELINED timing —
+    # fuses packing separately), bf16 weights (the production default since
+    # the round-3 flip), PIPELINED timing —
     # K back-to-back dispatches with only the last fetched, so the relay
     # RTT and the result transfer amortize over K programs instead of
     # polluting every per-step number.
@@ -98,7 +101,6 @@ def main():
     K = 6  # dispatches per timed pass
 
     def run(name, **kw):
-        kw.setdefault("int8_gates", True)
         fn = lambda s: pallas_decode.decode(
             w, None, None, jax.random.PRNGKey(s), mode="MOL", n_classes=30,
             cond=cond, out_T=T, **kw)
@@ -115,9 +117,9 @@ def main():
         print(f"{name:38s} {best:.3f}s/{K} = {per:5.2f} us/step")
         return per
 
-    full = run("full kernel (MOL stochastic, int8)")
+    full = run("full kernel (MOL stochastic, bf16)")
     print(f"bf16 matmul-floor share: {dt / T * 1e6 / full * 100:.0f}%")
-    run("  bf16 weights", int8_gates=False)
+    run("  int8 weights", int8_gates=True)
     run("  deterministic (no PRNG/sampling rng)", deterministic=True)
     run("  ablate sampling entirely", ablate=frozenset({"sample"}))
     run("  ablate gru gate nonlinearity", ablate=frozenset({"gates"}))
@@ -130,8 +132,7 @@ def main():
     for unroll in (4, 16):
         run(f"  unroll={unroll}", unroll=unroll)
     for b_tile in (32, 128):
-        if B >= b_tile or b_tile >= B:
-            run(f"  b_tile={b_tile}", b_tile=b_tile)
+        run(f"  b_tile={b_tile}", b_tile=b_tile)
     run("  out_xpose=block", out_xpose="block")
 
 

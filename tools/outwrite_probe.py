@@ -4,7 +4,7 @@ The kernel-breakdown ablation attributes ~1.8 us/step to the time-major
 output write; its inner cost is U=8 per-step (B,1)->(1,B) transposes per
 unrolled block.  This probe measures the block variant (one (B,U)->(U,B)
 transpose) against the step variant under production conditions
-(int8 gates, prebuilt packed conditioning, bench-shaped fold count), and
+(bf16 weights, prebuilt packed conditioning, bench-shaped fold count), and
 asserts the two produce bit-identical samples.
 
 Run on TPU:  python tools/outwrite_probe.py [B] [T]
@@ -40,13 +40,14 @@ def main():
     # be several GB on this 1-vCPU host)
     cond = jax.block_until_ready(jax.jit(
         lambda k: jax.random.uniform(
-            k, (T, B_pad, pallas_decode.SEG), jnp.bfloat16, -1, 1)
+            k, (pallas_decode._round_up(T, 256), B_pad, pallas_decode.SEG),
+            jnp.bfloat16, -1, 1)
     )(jax.random.PRNGKey(0)))
 
     def run(name, **kw):
         fn = lambda s: pallas_decode.decode(
             w, None, None, jax.random.PRNGKey(s), mode="MOL", n_classes=30,
-            cond=cond, out_T=T, int8_gates=True, **kw)
+            cond=cond, out_T=T, **kw)
         np.asarray(fn(0))  # compile + warm
         best = min(
             (lambda t0: (np.asarray(fn(s + 1)), time.time() - t0)[1])(
@@ -64,10 +65,10 @@ def main():
     # bit-exactness: same values, only the vector-op order differs
     a = np.asarray(pallas_decode.decode(
         w, None, None, jax.random.PRNGKey(7), mode="MOL", n_classes=30,
-        cond=cond, out_T=T, int8_gates=True, deterministic=True))
+        cond=cond, out_T=T, deterministic=True))
     b = np.asarray(pallas_decode.decode(
         w, None, None, jax.random.PRNGKey(7), mode="MOL", n_classes=30,
-        cond=cond, out_T=T, int8_gates=True, deterministic=True,
+        cond=cond, out_T=T, deterministic=True,
         out_xpose="block"))
     exact = np.array_equal(a, b)
     print(f"deterministic outputs bit-identical: {exact}")

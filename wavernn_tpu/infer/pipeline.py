@@ -29,7 +29,8 @@ class TTSPipeline:
       r: frames per decoder step (use the final curriculum r).
       backend: WaveRNN decode backend ('pallas' on TPU, 'scan' elsewhere).
       int8_gates: opt-in int8 weight streaming in the pallas vocoder kernel
-        (default on; measured faster with quality-gated deltas).
+        (default off: measured slower than bf16 at production fold widths,
+        docs/ROADMAP.md).
       deterministic: mode/argmax vocoder draws instead of sampling
         (reproducible serving; used by equality tests).
     """
