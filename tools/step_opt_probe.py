@@ -61,10 +61,9 @@ def main():
         print(f"{name:44s} {best / (K * T) * 1e6:5.2f} us/step")
 
     run("production default (bf16+tanh+maxmask)")
-    run("legacy argmax select", mol_select="argmax")
-    run("legacy sigmoid lowering", gate_act="sigmoid")
-    run("int8 weights", int8_gates=True)
-    run("bf16 gate transcendentals", gate_dtype="bf16")
+    run("sched=ghfirst (hoist hidden dots)", sched="ghfirst")
+    run("ghfirst + bf16 transcendentals", sched="ghfirst",
+        gate_dtype="bf16")
 
 
 if __name__ == "__main__":

@@ -88,6 +88,7 @@ def _decode_kernel(
     mol_select: str = "maxmask",
     gate_act: str = "tanh",
     gate_dtype: str = "f32",
+    sched: str = "orig",
 ):
     names = _weight_order(int8_gates)
     ws = dict(zip(names, rest))
@@ -237,6 +238,13 @@ def _decode_kernel(
             seg0 = cond[:, :LANE]              # [mel | a1 | 0]
             seg1 = cond[:, LANE:]              # [a2 | a3 | a4 | 0]
 
+            if sched == "ghfirst":
+                # dev A/B: issue BOTH hidden-state dots up front — they
+                # depend only on the previous step's h1/h2, so the MXU can
+                # work on gh2 while the VPU runs gru1's gate math
+                gh1_pre = gdot(h1, w_hh1, "w_hh1_s")
+                gh2_pre = gdot(h2, w_hh2, "w_hh2_s")
+
             # All aux-segment projections in ONE dot (w_aux columns =
             # [gru2-a2 | fc1-a3 | fc2-a4]): fewer MXU launches per step.
             aux_all = jnp.dot(seg1, w_aux[...], preferred_element_type=jnp.float32)
@@ -255,12 +263,17 @@ def _decode_kernel(
                 + b_I[...]
             )
 
-            gh1 = gdot(h1, w_hh1, "w_hh1_s")
+            if sched == "ghfirst":
+                gh1, gh2 = gh1_pre, gh2_pre
+            else:
+                gh1 = gdot(h1, w_hh1, "w_hh1_s")
+                gh2 = None
             h1 = gru_gates(gi1, gh1, h1, b1, b_hh1_n)
             xr = xi + h1
 
             gi2 = gdot(xr, w_ih2x, "w_ih2x_s") + aux_all[:, :H3]
-            gh2 = gdot(h2, w_hh2, "w_hh2_s")
+            if gh2 is None:
+                gh2 = gdot(h2, w_hh2, "w_hh2_s")
             h2 = gru_gates(gi2, gh2, h2, b2, b_hh2_n)
             xr = xr + h2
 
@@ -578,7 +591,7 @@ def _weight_order(int8_gates: bool):
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
                      "int8_gates", "out_xpose", "mol_select", "gate_act",
-                     "gate_dtype"),
+                     "gate_dtype", "sched"),
 )
 def decode(
     weights: DecodeWeights,
@@ -600,6 +613,7 @@ def decode(
     mol_select: str = "maxmask",  # MOL mixture pick ("argmax" = legacy A/B)
     gate_act: str = "tanh",       # GRU sigmoid lowering ("sigmoid" = legacy)
     gate_dtype: str = "f32",      # dev A/B: gate transcendental precision
+    sched: str = "orig",          # dev A/B: per-step dot issue order
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -648,7 +662,7 @@ def decode(
         T=T_pad, mode=mode, n_classes=n_classes, deterministic=deterministic,
         chunk=chunk, unroll=unroll, ablate=ablate,
         int8_gates=int8_gates, out_xpose=out_xpose, mol_select=mol_select,
-        gate_act=gate_act, gate_dtype=gate_dtype,
+        gate_act=gate_act, gate_dtype=gate_dtype, sched=sched,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
