@@ -160,10 +160,11 @@ def _decode_kernel(
         return x.astype(jnp.bfloat16)
 
     def gdot(a, wq, scale_name):
-        """Gate matmul: bf16, or int8 weights + per-row dynamic activation
-        quantization (acc in int32, rescaled by act-row x weight-column
-        scales).  int8 halves the streamed bytes of the three big GRU
-        matrices — the kernel's matmul floor is weight-streaming bound."""
+        """Gate matmul: bf16 (default), or int8 weights + per-row dynamic
+        activation quantization (acc in int32, rescaled by act-row x
+        weight-column scales).  int8 halves the streamed bytes but its
+        serial quant chain costs more than the savings at production fold
+        widths (docs/ROADMAP.md round-3 measurements) — kept as an opt-in."""
         if not int8_gates:
             return jnp.dot(bf(a), wq[...], preferred_element_type=jnp.float32)
         sa = jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True),
@@ -486,9 +487,10 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
     ``int8_gates`` stores the three big GRU matrices (w_hh1, gru2's w_ih,
     w_hh2) and the two FC head matrices (~80% of the per-step weight
     bytes) as int8 with per-column
-    symmetric scales: the kernel is weight-streaming bound, so halving
-    those bytes moves the matmul floor (activations are dynamically
-    quantized per row in-kernel; gate math stays f32)."""
+    symmetric scales (activations are dynamically quantized per row
+    in-kernel; gate math stays f32).  Round-3 pipelined timing found the
+    kernel serial-chain bound rather than weight-streaming bound, so int8
+    measures SLOWER at production widths and is opt-in (docs/ROADMAP.md)."""
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     bf = lambda a: jnp.asarray(a, jnp.bfloat16)
     H = w.gru1_w_hh.shape[0]
