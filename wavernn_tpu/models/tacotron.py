@@ -55,7 +55,9 @@ class TacotronConfig:
     decoder_remat: bool = True
     # decoder scan unroll: the cell is ~30 small latency-bound ops, so
     # unrolling lets the TPU scheduler pipeline consecutive steps
-    decoder_unroll: int = 5
+    # (10 measured ~1 ms/step better than 5 both before and after the
+    # mask hoist, tools/tts_train_probe.py)
+    decoder_unroll: int = 10
 
     @classmethod
     def from_hp(cls, hp, num_chars: int) -> "TacotronConfig":
@@ -139,11 +141,24 @@ class PreNet(nn.Module):
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, masks=None):
+        """``masks``: optional pregenerated keep-masks (m1, m2) replacing
+        the in-call dropout PRNG — used by the decoder scan, where per-step
+        ``make_rng`` calls are latency-expensive.  Same semantics as
+        nn.Dropout: keep with probability 1-dropout, scale by 1/(1-p)."""
+        keep = 1.0 - self.dropout
         x = nn.relu(Dense(self.fc1_dims, name="fc1")(x))
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if masks is not None:
+            if train:
+                x = jnp.where(masks[0], x / keep, 0.0)
+        else:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.relu(Dense(self.fc2_dims, name="fc2")(x))
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if masks is not None:
+            if train:
+                x = jnp.where(masks[1], x / keep, 0.0)
+        else:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
 
@@ -302,21 +317,25 @@ class DecoderCell(nn.Module):
     cfg: TacotronConfig
     zoneout_p: float = 0.1
 
-    def _zoneout(self, prev, current):
-        mask = jax.random.bernoulli(
-            self.make_rng("dropout"), self.zoneout_p, prev.shape
-        ).astype(prev.dtype)
-        return prev * mask + current * (1.0 - mask)
+    @staticmethod
+    def _zoneout(prev, current, keep_mask):
+        return jnp.where(keep_mask, prev, current)
 
     @nn.compact
     def __call__(self, carry, encoder_seq, encoder_seq_proj, prenet_in,
-                 r: int, train: bool):
+                 masks, r: int, train: bool):
         c = self.cfg
         (attn_h, r1_h, r1_c, r2_h, r2_c, context, cumulative, attn_prev) = carry
+        # masks: per-step (prenet keep-mask x2, zoneout keep-prev mask x2),
+        # pregenerated OUTSIDE the scan — 4 jax.random calls per step across
+        # ~300 steps cost ~4 ms/fwd (and again in the remat backward) when
+        # generated in-loop; batched generation makes them ~free
+        pm1, pm2, z1, z2 = masks
 
         # attn_rnn input is decoder_dims + decoder_dims//2 (ref: tacotron.py:218)
         prenet_out = PreNet(fc1_dims=c.decoder_dims, fc2_dims=c.decoder_dims // 2,
-                            dropout=c.dropout, name="prenet")(prenet_in, train)
+                            dropout=c.dropout, name="prenet")(
+                                prenet_in, train, masks=(pm1, pm2))
 
         # attention GRU
         attn_in = jnp.concatenate([context, prenet_out], axis=-1)
@@ -336,11 +355,11 @@ class DecoderCell(nn.Module):
         )
 
         r1_h_next, r1_c = _RawLSTMCell(c.lstm_dims, name="res_rnn1")(x, r1_h, r1_c)
-        r1_h = self._zoneout(r1_h, r1_h_next) if train else r1_h_next
+        r1_h = self._zoneout(r1_h, r1_h_next, z1) if train else r1_h_next
         x = x + r1_h
 
         r2_h_next, r2_c = _RawLSTMCell(c.lstm_dims, name="res_rnn2")(x, r2_h, r2_c)
-        r2_h = self._zoneout(r2_h, r2_h_next) if train else r2_h_next
+        r2_h = self._zoneout(r2_h, r2_h_next, z2) if train else r2_h_next
         x = x + r2_h
 
         # mel_proj keeps the reference's (lstm, n_mels*MAX_R) kernel layout
@@ -372,15 +391,16 @@ class Tacotron(nn.Module):
         self.encoder = Encoder(c)
         self.encoder_proj = Dense(c.decoder_dims, use_bias=False)
         # static_argnums index the lifted core_fn (module at 0, then the
-        # __call__ args): r and train land at positions 5, 6 — python
+        # __call__ args): r and train land at positions 6, 7 — python
         # statics the remat must not trace
-        cell = (nn.remat(DecoderCell, static_argnums=(5, 6))
+        cell = (nn.remat(DecoderCell, static_argnums=(6, 7))
                 if c.decoder_remat else DecoderCell)
         self.decoder = nn.scan(
             cell,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=(nn.broadcast, nn.broadcast, 0, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, 0, 0, nn.broadcast,
+                     nn.broadcast),
             out_axes=0,
             unroll=c.decoder_unroll,
         )(c)
@@ -399,8 +419,10 @@ class Tacotron(nn.Module):
 
     def decode_step(self, carry, encoder_seq, encoder_seq_proj, prenet_in, r: int):
         """Single free-running decoder step (eval mode).  prenet_in: (B, n_mels)."""
+        dummy = _dummy_masks(1)
         carry, (mels, scores) = self.decoder(
-            carry, encoder_seq, encoder_seq_proj, prenet_in[None], r, False
+            carry, encoder_seq, encoder_seq_proj, prenet_in[None], dummy,
+            r, False
         )
         return carry, (mels[0], scores[0])
 
@@ -427,9 +449,26 @@ class Tacotron(nn.Module):
         idx = jnp.arange(1, steps // r) * r - 1
         prenet_seq = jnp.concatenate([go, jnp.swapaxes(m[:, idx], 0, 1)], axis=0)
 
+        T_dec = steps // r
+        if train:
+            # all the scan's stochastic masks in 4 batched draws (see
+            # DecoderCell docstring: in-loop make_rng was ~4 ms/forward)
+            k1, k2, k3, k4 = jax.random.split(self.make_rng("dropout"), 4)
+            keep = 1.0 - c.dropout
+            masks = (
+                jax.random.bernoulli(k1, keep, (T_dec, B, c.decoder_dims)),
+                jax.random.bernoulli(k2, keep, (T_dec, B, c.decoder_dims // 2)),
+                jax.random.bernoulli(k3, DecoderCell.zoneout_p,
+                                     (T_dec, B, c.lstm_dims)),
+                jax.random.bernoulli(k4, DecoderCell.zoneout_p,
+                                     (T_dec, B, c.lstm_dims)),
+            )
+        else:
+            masks = _dummy_masks(T_dec)
+
         carry0 = self.init_decoder_carry(B, x.shape[1], m.dtype)
         _, (mels, scores) = self.decoder(
-            carry0, encoder_seq, encoder_seq_proj, prenet_seq, r, train
+            carry0, encoder_seq, encoder_seq_proj, prenet_seq, masks, r, train
         )
         # mels: (T/r, B, n_mels, r) → (B, T, n_mels)
         mel_outputs = jnp.transpose(mels, (1, 0, 3, 2)).reshape(B, steps, c.n_mels)
@@ -437,6 +476,14 @@ class Tacotron(nn.Module):
 
         linear = self.postnet_forward(mel_outputs, train)
         return mel_outputs, linear, attn_scores
+
+
+def _dummy_masks(T_dec: int):
+    """Placeholder eval-mode mask pytree for the decoder scan (same
+    structure as the train masks; sliced per step then dead-code-eliminated
+    since ``train`` is static)."""
+    z = jnp.zeros((T_dec, 1, 1), jnp.bool_)
+    return (z, z, z, z)
 
 
 def init_decoder_carry(cfg: TacotronConfig, B: int, T_enc: int,
