@@ -61,6 +61,8 @@ API = [
     ("wavernn_tpu.infer.pipeline", "TTSPipeline"),
     ("wavernn_tpu.infer.stream_server", "StreamServer"),
     ("wavernn_tpu.infer.stream_server", "TTSStreamServer"),
+    ("wavernn_tpu.infer.http_server", "SynthesisService"),
+    ("wavernn_tpu.infer.http_server", "make_http_server"),
     ("wavernn_tpu.parallel.mesh", "shard_folds_decode"),
     ("wavernn_tpu.pruning", "Pruner"),
 ]

@@ -1,0 +1,136 @@
+"""HTTP serving front-end (infer/http_server.py).
+
+Spins the real ThreadingHTTPServer on a loopback port over the tiny
+two-stage pipeline and drives it with stdlib http.client: health probe,
+one-shot /synthesize WAV, chunked /stream parity with the one-shot body,
+concurrent requests, and the error paths.  Scan backend (CPU tier); the
+co-batched vocoder economics under the kernel are covered by the TPU-tier
+stream-server probes.
+"""
+
+import http.client
+import json
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from tests.test_stream_server import TARGET, OVERLAP, _tiny_pipeline
+
+
+@pytest.fixture(scope="module")
+def server():
+    from wavernn_tpu.infer.http_server import (SynthesisService,
+                                               make_http_server)
+
+    service = SynthesisService(
+        _tiny_pipeline(), target=TARGET, overlap=OVERLAP, mu_law=True,
+        group=2, width=8, capacity=2, chunk_timeout=120.0)
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1], service
+    httpd.shutdown()
+    httpd.server_close()
+    service.close()
+
+
+def _post(port, path, body, timeout=120):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, body=json.dumps(body).encode(),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    status, ctype = resp.status, resp.getheader("Content-Type")
+    conn.close()
+    return status, ctype, data
+
+
+def _parse_wav(data):
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert data[12:16] == b"fmt "
+    _, fmt, ch, sr, _, _, bits = struct.unpack("<IHHIIHH", data[16:36])
+    assert (fmt, ch, bits) == (1, 1, 16)
+    assert data[36:40] == b"data"
+    return sr, np.frombuffer(data[44:], "<i2")
+
+
+def test_health(server):
+    port, service = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/health")
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 200
+    assert payload["ok"] is True
+    assert payload["sample_rate"] == service.sample_rate
+
+
+def test_synthesize_returns_wav(server):
+    port, service = server
+    status, ctype, data = _post(port, "/synthesize", {"text": "hello world"})
+    assert status == 200 and ctype == "audio/wav"
+    sr, pcm = _parse_wav(data)
+    assert sr == service.sample_rate
+    # declared data size must match the actual payload (not the streaming
+    # 0xFFFFFFFF variant)
+    assert struct.unpack("<I", data[40:44])[0] == 2 * len(pcm)
+    assert len(pcm) > 0 and np.abs(pcm.astype(np.int32)).max() > 0
+
+
+def test_stream_matches_synthesize(server):
+    """Chunked /stream carries the unknown-length WAV header and, with the
+    deterministic pipeline, byte-identical PCM to /synthesize."""
+    port, _ = server
+    _, _, want = _post(port, "/synthesize", {"text": "ok then"})
+    status, ctype, got = _post(port, "/stream", {"text": "ok then"})
+    assert status == 200 and ctype == "audio/wav"
+    assert struct.unpack("<I", got[40:44])[0] == 0xFFFFFFFF
+    assert got[44:] == want[44:]
+    assert len(got[44:]) > 0
+
+
+def test_concurrent_requests_share_the_service(server):
+    port, service = server
+    texts = ["hello world", "hi there", "ok then", "more text here"]
+    results = {}
+
+    def run(i):
+        results[i] = _post(port, "/synthesize", {"text": texts[i]})
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(len(texts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # co-batched concurrent serving must hand every request the same bytes
+    # a solo request gets (deterministic pipeline).  NB: with an untrained
+    # model the audio content barely depends on the text, so cross-text
+    # difference is not assertable here — solo-parity is the real contract
+    # (and the per-session routing is exercised because all four sessions
+    # are in flight together).
+    for i in range(len(texts)):
+        status, _, data = results[i]
+        assert status == 200
+        _, pcm = _parse_wav(data)
+        assert len(pcm) > 0 and np.abs(pcm.astype(np.int32)).max() > 0
+        _, _, solo = _post(port, "/synthesize", {"text": texts[i]})
+        assert data[44:] == solo[44:], texts[i]
+    assert service.active == 0
+
+
+def test_error_paths(server):
+    port, _ = server
+    status, _, data = _post(port, "/synthesize", {"no_text": 1})
+    assert status == 400 and b"text" in data
+    status, _, _ = _post(port, "/synthesize", {"text": "   "})
+    assert status == 400
+    status, _, _ = _post(port, "/nonsense", {"text": "x"})
+    assert status == 404
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/nonsense")
+    assert conn.getresponse().status == 404
+    conn.close()
