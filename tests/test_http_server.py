@@ -134,3 +134,24 @@ def test_error_paths(server):
     conn.request("GET", "/nonsense")
     assert conn.getresponse().status == 404
     conn.close()
+
+
+def test_service_close_drains_in_flight_sessions():
+    """close() stops admissions but lets in-flight sessions finish: the
+    consumer still receives the full utterance, byte-for-byte what an
+    undisturbed session gets, and submit() afterwards raises."""
+    from wavernn_tpu.infer.http_server import SynthesisService
+
+    svc = SynthesisService(_tiny_pipeline(), target=TARGET, overlap=OVERLAP,
+                           mu_law=True, group=2, width=8, capacity=2,
+                           chunk_timeout=120.0)
+    want = np.concatenate(list(svc.submit("hello world")))
+
+    it = svc.submit("hello world")
+    closer = threading.Thread(target=svc.close)
+    closer.start()
+    got = np.concatenate(list(it))
+    closer.join()
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(RuntimeError):
+        svc.submit("more")

@@ -100,7 +100,12 @@ class SynthesisService:
 
     def _drain(self, out: "queue.Queue") -> Iterator[np.ndarray]:
         while True:
-            item = out.get(timeout=self.chunk_timeout)
+            try:
+                item = out.get(timeout=self.chunk_timeout)
+            except queue.Empty:
+                raise RuntimeError(
+                    f"no audio chunk within {self.chunk_timeout:.0f}s — "
+                    "scheduler stalled or session lost") from None
             if item is None:
                 return
             if isinstance(item, Exception):
