@@ -78,7 +78,10 @@ def main():
     # headline.
     staged = [gen.prestage(m, batched=True, target=target, overlap=overlap)
               for m in mels]
-    passes = int(os.environ.get("BENCH_PASSES", "5"))
+    # 9 passes (was 5): relay stall episodes are multi-second against a
+    # ~0.3 s timed pass, so one stall wrecks a whole pass — more passes
+    # stabilize the median without changing its definition
+    passes = int(os.environ.get("BENCH_PASSES", "9"))
     cobatch, strict, loose = [], [], []
     for p in range(passes):
         t0 = time.time()
