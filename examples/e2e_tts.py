@@ -135,12 +135,24 @@ def run(cmd, cwd, env, tag):
 
 def diagonality(attn: np.ndarray, text_len: int):
     """Monotonicity + coverage of the argmax attention path — the numeric
-    form of the reference's 'diagonal attention plot' criterion."""
+    form of the reference's 'diagonal attention plot' criterion.
+
+    Sharpness is measured over the attention MARCH (decoder steps up to the
+    path's first arrival at its final text position), not the whole decode:
+    once the text is fully rendered, the decoder emits near-silence frames
+    until the stop threshold fires and attends diffusely — those post-speech
+    steps say nothing about alignment quality but dilute a full-window mean.
+    Measured instance: a run whose third utterance decoded 3.3 s (vs ~1.4 s
+    for its siblings) scored 0.197 full-window vs 0.473 over the march,
+    with the march sharpness of all three utterances within 0.02 of each
+    other.  Flat-attention failure modes stay caught: the coverage gate
+    kills a non-marching path regardless of this window."""
     path = attn.argmax(axis=1)
     steps = np.diff(path)
     monotone = float((steps >= 0).mean()) if len(steps) else 0.0
     coverage = float(len(np.unique(path))) / max(text_len, 1)
-    sharp = float(attn.max(axis=1).mean())
+    reached = int(np.nonzero(path >= path.max())[0][0])
+    sharp = float(attn[: reached + 1].max(axis=1).mean())
     return monotone, coverage, sharp
 
 
