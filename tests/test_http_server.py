@@ -80,16 +80,62 @@ def test_synthesize_returns_wav(server):
     assert len(pcm) > 0 and np.abs(pcm.astype(np.int32)).max() > 0
 
 
-def test_stream_matches_synthesize(server):
-    """Chunked /stream carries the unknown-length WAV header and, with the
-    deterministic pipeline, byte-identical PCM to /synthesize."""
+def test_synthesize_matches_direct_pipeline(server):
+    """/synthesize rides the one-shot fast path (one fused vocoder program
+    per request): its PCM must equal the direct TTSPipeline one-shot
+    computed outside the service (deterministic decode)."""
+    from wavernn_tpu.infer.http_server import pcm16
+    from wavernn_tpu.text import text_to_sequence
+
+    port, _ = server
+    _, _, got = _post(port, "/synthesize", {"text": "ok then"})
+
+    pipe = _tiny_pipeline()
+    seq = text_to_sequence("ok then", ["english_cleaners"])
+    _, m_linear, _ = pipe.tts(seq, r=pipe.r)
+    mel = np.clip((m_linear + 4) / 8, 0, 1)
+    want = pipe.voc(mel, batched=True, target=TARGET, overlap=OVERLAP,
+                    mu_law=True)
+    assert got[44:] == pcm16(want).tobytes()
+
+
+def test_stream_is_chunked_and_deterministic(server):
+    """/stream carries the unknown-length WAV header, produces audio of the
+    same duration as /synthesize for the same text, and repeats
+    byte-identically (deterministic pipeline).  NB: stream and one-shot are
+    different XLA programs whose f32 upsample rounding differs by ULPs, and
+    an AR sampler can cascade a single flipped draw — so cross-path parity
+    is duration-level, not byte-level (the stream path's byte-level oracle
+    is tests/test_stream_server.py)."""
     port, _ = server
     _, _, want = _post(port, "/synthesize", {"text": "ok then"})
     status, ctype, got = _post(port, "/stream", {"text": "ok then"})
     assert status == 200 and ctype == "audio/wav"
     assert struct.unpack("<I", got[40:44])[0] == 0xFFFFFFFF
-    assert got[44:] == want[44:]
-    assert len(got[44:]) > 0
+    assert len(got[44:]) == len(want[44:]) > 0
+    _, _, again = _post(port, "/stream", {"text": "ok then"})
+    assert again[44:] == got[44:]
+
+
+def test_mixed_stream_and_oneshot_sessions(server):
+    """A streaming session and a one-shot session in flight together both
+    complete with their solo bytes."""
+    port, _ = server
+    results = {}
+
+    def run(path, key):
+        results[key] = _post(port, path, {"text": "hello world"})
+
+    threads = [threading.Thread(target=run, args=("/stream", "s")),
+               threading.Thread(target=run, args=("/synthesize", "o"))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    _, _, solo_stream = _post(port, "/stream", {"text": "hello world"})
+    _, _, solo_one = _post(port, "/synthesize", {"text": "hello world"})
+    assert results["s"][2][44:] == solo_stream[44:]
+    assert results["o"][2][44:] == solo_one[44:]
 
 
 def test_concurrent_requests_share_the_service(server):

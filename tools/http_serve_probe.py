@@ -95,9 +95,35 @@ def main():
 
     t0 = time.time()
     streamed = post(port, "/stream", text)
-    print(f"/stream: {len(streamed) - 44} PCM bytes in {time.time() - t0:.2f} s; "
-          f"PCM == one-shot: {streamed[44:] == warm[44:]}")
-    assert streamed[44:] == warm[44:]
+    print(f"/stream: {len(streamed) - 44} PCM bytes in {time.time() - t0:.2f} s "
+          f"(same duration as one-shot: {len(streamed) == len(warm)})")
+    # /synthesize now rides the fused one-shot program — a different XLA
+    # program from the stream path whose f32 upsample ULPs can flip an AR
+    # draw, so cross-path parity is duration-level; repeatability is exact:
+    assert len(streamed) == len(warm)
+    streamed2 = post(port, "/stream", text)
+    assert streamed2[44:] == streamed[44:], "stream not deterministic"
+
+    # -- /stream time-to-first-audio through the whole HTTP stack --------
+    # (http.client decodes chunked transfer incrementally, so the first
+    # nonempty read beyond the 44-byte WAV header marks first PCM arrival)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    t0 = time.time()
+    conn.request("POST", "/stream", body=json.dumps({"text": text}).encode())
+    resp = conn.getresponse()
+    got, ttfb = 0, None
+    while True:
+        blk = resp.read(65536)
+        if not blk:
+            break
+        got += len(blk)
+        if ttfb is None and got > 44:
+            ttfb = time.time() - t0
+    total = time.time() - t0
+    conn.close()
+    secs = (got - 44) / 2 / voc_cfg.sample_rate
+    print(f"/stream TTFB (first PCM through HTTP): {ttfb * 1e3:.0f} ms; "
+          f"{secs:.2f} s audio in {total:.2f} s ({secs / total:.1f}x RT)")
 
     httpd.shutdown()
     httpd.server_close()

@@ -34,6 +34,7 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 _STOP = object()
+_VOC_HANDLE = object()  # tags a dispatched one-shot's (sentinel, handle)
 _UNKNOWN = 0xFFFFFFFF
 
 
@@ -62,9 +63,21 @@ class SynthesisService:
 
     ``submit(text)`` may be called from any thread; it returns an iterator
     of float64 audio chunks.  One daemon thread owns every model/device
-    call: it admits queued texts into the underlying
-    :class:`TTSStreamServer` and repeatedly serves co-batched decode steps,
-    routing each session's chunks to its consumer queue.
+    *dispatch*: it admits queued texts and routes each session's chunks to
+    its consumer queue.
+
+    Two session kinds, two decode paths:
+
+    * ``stream=True``: incremental chunks through the underlying
+      :class:`TTSStreamServer` — concurrent streams' fold rows co-batch
+      into one decode launch per scheduling step, audio arrives while the
+      utterance decodes.
+    * ``stream=False`` (the one-shot fast path): the whole mel→wave decode
+      is ONE fused device program (``Generator.submit`` + ``prefetch``) —
+      no per-group launch round trips, so a non-streaming request costs a
+      single dispatch.  The scheduler only dispatches; the consumer's own
+      thread blocks on the ready-result transfer (``collect``), which
+      needs no device dispatch and is thread-safe.
     """
 
     def __init__(self, pipeline, target: int = 11_000, overlap: int = 550,
@@ -74,6 +87,7 @@ class SynthesisService:
         from wavernn_tpu.infer.stream_server import TTSStreamServer
 
         self.sample_rate = pipeline.voc.cfg.sample_rate
+        self.target, self.overlap, self.mu_law = target, overlap, mu_law
         self.server = TTSStreamServer(
             pipeline, target=target, overlap=overlap, mu_law=mu_law,
             group=group, width=width, capacity=capacity,
@@ -81,6 +95,8 @@ class SynthesisService:
         self.chunk_timeout = chunk_timeout
         self._requests: "queue.Queue" = queue.Queue()
         self._queues: Dict[int, "queue.Queue"] = {}
+        self._oneshots: list = []   # (tts handle, consumer queue), FIFO
+        self._seed = seed
         self._stopped = False
         self._thread = threading.Thread(
             target=self._loop, name="synthesis-scheduler", daemon=True)
@@ -88,14 +104,15 @@ class SynthesisService:
 
     # -- client side ------------------------------------------------------
 
-    def submit(self, text: str) -> Iterator[np.ndarray]:
+    def submit(self, text: str, stream: bool = True) -> Iterator[np.ndarray]:
         """Enqueue a text; returns an iterator yielding audio chunks until
-        the utterance completes.  Raises the scheduler-side exception (e.g.
-        an unknown-symbol text) from the iterator."""
+        the utterance completes (a one-shot session yields exactly one).
+        Raises the scheduler-side exception (e.g. an unknown-symbol text)
+        from the iterator."""
         if self._stopped:
             raise RuntimeError("service is closed")
         out: "queue.Queue" = queue.Queue()
-        self._requests.put((text, out))
+        self._requests.put((text, out, stream))
         return self._drain(out)
 
     def _drain(self, out: "queue.Queue") -> Iterator[np.ndarray]:
@@ -110,11 +127,18 @@ class SynthesisService:
                 return
             if isinstance(item, Exception):
                 raise item
+            if isinstance(item, tuple) and item[0] is _VOC_HANDLE:
+                # one-shot fast path: the scheduler dispatched the fused
+                # decode + async host copy; block HERE (consumer thread) on
+                # the transfer so the scheduler never waits on our result
+                yield self.server.pipeline.voc.collect(item[1])
+                continue
             yield item
 
     @property
     def active(self) -> int:
-        return len(self.server.active) + self._requests.qsize()
+        return (len(self.server.active) + len(self._oneshots)
+                + self._requests.qsize())
 
     def close(self):
         """Stop accepting new texts and wait for in-flight sessions to
@@ -131,21 +155,51 @@ class SynthesisService:
         """Admit one queued request; returns False on the stop sentinel."""
         if item is _STOP:
             return False
-        text, out = item
+        text, out, stream = item
         try:
-            sid = self.server.add(text)
+            if stream:
+                sid = self.server.add(text)
+                self._queues[sid] = out
+            else:
+                # one-shot: dispatch the text→mel decode now; promotion to
+                # the fused vocoder program happens in the loop
+                from wavernn_tpu.text import text_to_sequence
+
+                pipe = self.server.pipeline
+                seq = text_to_sequence(text.strip(), pipe.cleaners)
+                self._oneshots.append((pipe.tts.submit(seq, r=pipe.r), out))
         except Exception as e:  # bad text: fail that session only
             out.put(e)
-            return True
-        self._queues[sid] = out
         return True
+
+    def _promote_oneshot(self):
+        """Finish the oldest one-shot's mel decode and dispatch its fused
+        vocoder program + async result copy.  The blocking mel transfer is
+        bounded and paid once per session (same policy as the stream
+        server's admit phase)."""
+        handle, out = self._oneshots.pop(0)
+        pipe = self.server.pipeline
+        try:
+            _, m_linear, _ = pipe.tts.collect(handle)
+            mel = np.clip((m_linear + 4) / 8, 0, 1)
+            if mel.shape[-1] < 2:  # sub-hop mel: no audio to decode
+                out.put(None)
+                return
+            self._seed += 1
+            vh = pipe.voc.submit(mel, True, self.target, self.overlap,
+                                 self.mu_law, seed=self._seed)
+            pipe.voc.prefetch(vh)
+            out.put((_VOC_HANDLE, vh))
+            out.put(None)
+        except Exception as e:
+            out.put(e)
 
     def _loop(self):
         running = True
-        while running or self.server.active:
+        while running or self.server.active or self._oneshots:
             # Block only when idle; otherwise drain admissions non-blocking
             # so waiting sessions keep decoding.
-            if running and not self.server.active:
+            if running and not self.server.active and not self._oneshots:
                 items = [self._requests.get()]
             else:
                 items = []
@@ -157,6 +211,8 @@ class SynthesisService:
             for item in items:
                 if not self._admit(item):
                     running = False
+            if self._oneshots:
+                self._promote_oneshot()
             if not self.server.active:
                 continue
             served = self.server.step()
@@ -232,7 +288,8 @@ class _Handler(BaseHTTPRequestHandler):
         if text is None:
             return
         try:
-            session = self.service.submit(text)
+            session = self.service.submit(text,
+                                          stream=self.path == "/stream")
             if self.path == "/synthesize":
                 chunks = [pcm16(c) for c in session]
                 pcm = (np.concatenate(chunks) if chunks
