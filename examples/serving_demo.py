@@ -124,6 +124,36 @@ def main():
           f"{srv.launches} co-batched launches, {time.time() - t0:.1f}s; "
           f"per-session audio == solo stream")
 
+    # 5. the HTTP daemon over the same pipeline: /synthesize rides the
+    #    fused one-shot fast path, /stream the co-batched scheduler
+    import http.client
+    import json
+    import threading
+
+    from wavernn_tpu.infer.http_server import (SynthesisService,
+                                               make_http_server)
+
+    service = SynthesisService(pipe, target=2750, overlap=550, mu_law=True,
+                               group=2, width=8, capacity=4)
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    t0 = time.time()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/synthesize",
+                 body=json.dumps({"text": texts[0]}).encode())
+    wav_bytes = conn.getresponse().read()
+    conn.request("GET", "/health")
+    health = json.loads(conn.getresponse().read())
+    conn.close()
+    assert wav_bytes[:4] == b"RIFF" and len(wav_bytes) > 44
+    assert health["served_sessions"] == 1
+    print(f"http:    POST /synthesize -> {len(wav_bytes)} WAV bytes in "
+          f"{time.time() - t0:.1f}s; health: {health}")
+    httpd.shutdown()
+    httpd.server_close()
+    service.close()
+
 
 if __name__ == "__main__":
     main()

@@ -48,6 +48,9 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--deterministic", action="store_true",
                         help="mode/argmax draws: reproducible audio")
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="skip the startup warm-up synthesis (compiles "
+                             "are then paid by the first requests)")
     parser.add_argument("--tts_backend", choices=["auto", "xla", "pallas"],
                         default="auto")
     parser.add_argument("--force_cpu", "-c", action="store_true")
@@ -96,6 +99,18 @@ def main():
     httpd = make_http_server(service, args.host, args.port,
                              quiet=not args.verbose)
 
+    if not args.no_warmup:
+        # pay both decode paths' compiles before accepting traffic (the
+        # first TPU compiles take minutes over a relay)
+        import time
+
+        t0 = time.time()
+        print("Warming up (compiling both decode paths)...")
+        for stream in (False, True):
+            for _ in service.submit("warm up.", stream=stream):
+                pass
+        print(f"Warm-up done in {time.time() - t0:.1f} s")
+
     simple_table([
         ("WaveRNN", f"{voc_state.get_step() // 1000}k"),
         ("Tacotron", f"{tts_state.get_step() // 1000}k"),
@@ -105,7 +120,13 @@ def main():
         ("endpoint", f"http://{args.host}:{httpd.server_address[1]}"),
     ])
     print("Serving: POST /synthesize | POST /stream | GET /health "
-          "(ctrl-c to stop)")
+          "(ctrl-c or SIGTERM to stop)")
+    import signal
+
+    def _sigterm(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -66,6 +66,9 @@ def test_health(server):
     assert resp.status == 200
     assert payload["ok"] is True
     assert payload["sample_rate"] == service.sample_rate
+    assert payload["served_sessions"] == service.served_sessions
+    assert payload["served_audio_seconds"] == round(
+        service.served_samples / service.sample_rate, 2)
 
 
 def test_synthesize_returns_wav(server):

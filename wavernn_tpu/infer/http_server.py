@@ -97,6 +97,8 @@ class SynthesisService:
         self._queues: Dict[int, "queue.Queue"] = {}
         self._oneshots: list = []   # (tts handle, consumer queue), FIFO
         self._seed = seed
+        self.served_sessions = 0      # completed sessions (both kinds)
+        self.served_samples = 0       # audio samples handed to consumers
         self._stopped = False
         self._thread = threading.Thread(
             target=self._loop, name="synthesis-scheduler", daemon=True)
@@ -183,12 +185,15 @@ class SynthesisService:
             _, m_linear, _ = pipe.tts.collect(handle)
             mel = np.clip((m_linear + 4) / 8, 0, 1)
             if mel.shape[-1] < 2:  # sub-hop mel: no audio to decode
+                self.served_sessions += 1
                 out.put(None)
                 return
             self._seed += 1
             vh = pipe.voc.submit(mel, True, self.target, self.overlap,
                                  self.mu_law, seed=self._seed)
             pipe.voc.prefetch(vh)
+            self.served_sessions += 1
+            self.served_samples += (mel.shape[-1] - 1) * pipe.voc.cfg.hop_length
             out.put((_VOC_HANDLE, vh))
             out.put(None)
         except Exception as e:
@@ -220,8 +225,10 @@ class SynthesisService:
             for sid, chunk in served.items():
                 q = self._queues.get(sid)
                 if q is not None and len(chunk):
+                    self.served_samples += len(chunk)
                     q.put(np.asarray(chunk))
             for sid in done:
+                self.served_sessions += 1
                 self._queues.pop(sid).put(None)
         # closed with sessions still queued/in flight: unblock consumers
         for q in self._queues.values():
@@ -248,11 +255,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _json(self, code: int, payload: dict):
         body = json.dumps(payload).encode()
-        self.send_response(code)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except (BrokenPipeError, ConnectionResetError):
+            self.close_connection = True  # client left; nothing to answer
 
     def _read_text(self) -> Optional[str]:
         try:
@@ -274,9 +284,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/health":
-            self._json(200, {"ok": True, "active": self.service.active,
-                             "sample_rate": self.service.sample_rate,
-                             "launches": self.service.server.server.launches})
+            svc = self.service
+            self._json(200, {
+                "ok": True, "active": svc.active,
+                "sample_rate": svc.sample_rate,
+                "launches": svc.server.server.launches,
+                "served_sessions": svc.served_sessions,
+                "served_audio_seconds": round(
+                    svc.served_samples / svc.sample_rate, 2),
+            })
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -294,13 +310,16 @@ class _Handler(BaseHTTPRequestHandler):
                 chunks = [pcm16(c) for c in session]
                 pcm = (np.concatenate(chunks) if chunks
                        else np.zeros(0, "<i2")).tobytes()
-                self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
-                self.send_header(
-                    "Content-Length", str(44 + len(pcm)))
-                self.end_headers()
-                self.wfile.write(wav_header(self.service.sample_rate,
-                                            len(pcm)) + pcm)
+                try:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header(
+                        "Content-Length", str(44 + len(pcm)))
+                    self.end_headers()
+                    self.wfile.write(wav_header(self.service.sample_rate,
+                                                len(pcm)) + pcm)
+                except (BrokenPipeError, ConnectionResetError):
+                    self.close_connection = True
             else:
                 # pull the first chunk BEFORE committing to a 200, so a
                 # failed session still gets a clean JSON error
