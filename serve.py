@@ -53,6 +53,10 @@ def main():
                              "are then paid by the first requests)")
     parser.add_argument("--tts_backend", choices=["auto", "xla", "pallas"],
                         default="auto")
+    parser.add_argument("--mesh", "-m", action="store_true",
+                        help="shard the vocoder's fold axis over the device "
+                             "mesh (multi-chip sequence-parallel decode; "
+                             "uses hp.mesh_shape when set)")
     parser.add_argument("--force_cpu", "-c", action="store_true")
     parser.add_argument("--verbose", action="store_true",
                         help="log every HTTP request")
@@ -82,6 +86,14 @@ def main():
         args.tts_weights if args.tts_weights else paths.tts_latest_weights)
     r = r_for_step(tts_state.get_step(), hp.tts_schedule)
 
+    mesh = None
+    if args.mesh:
+        from wavernn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(hp.mesh_shape)
+        print(f"Decode mesh: data={mesh.n_data} model={mesh.n_model} "
+              f"({len(jax.devices())} devices)")
+
     backend = "pallas" if platform == "tpu" else "scan"
     pipeline = TTSPipeline(
         tts_cfg, {"params": tts_state.params,
@@ -89,7 +101,8 @@ def main():
         voc_cfg, {"params": voc_state.params,
                   "batch_stats": voc_state.batch_stats},
         cleaner_names=hp.tts_cleaner_names, r=r, backend=backend,
-        tts_backend=args.tts_backend, deterministic=args.deterministic)
+        tts_backend=args.tts_backend, deterministic=args.deterministic,
+        mesh=mesh)
 
     service = SynthesisService(
         pipeline, target=hp.voc_target, overlap=hp.voc_overlap,

@@ -204,3 +204,23 @@ def test_service_close_drains_in_flight_sessions():
     np.testing.assert_array_equal(got, want)
     with pytest.raises(RuntimeError):
         svc.submit("more")
+
+
+def test_service_oneshot_with_mesh_matches_without():
+    """Multi-chip serving from the daemon: a service over a mesh-sharded
+    pipeline (vocoder folds over the 'data' axis, as serve.py --mesh wires
+    it) produces the same one-shot audio as the unmeshed service."""
+    from wavernn_tpu.infer.http_server import SynthesisService
+    from wavernn_tpu.parallel.mesh import make_mesh
+
+    def run(**kw):
+        svc = SynthesisService(_tiny_pipeline(**kw), target=TARGET,
+                               overlap=OVERLAP, mu_law=True, group=2,
+                               width=8, capacity=2, chunk_timeout=120.0)
+        wav = np.concatenate(list(svc.submit("hello world", stream=False)))
+        svc.close()
+        return wav
+
+    want = run()
+    got = run(mesh=make_mesh())  # 8 virtual devices (conftest)
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -100,7 +100,7 @@ def test_server_least_progress_scheduling():
     assert items[0][0].sid == 1  # the fresh session goes first
 
 
-def _tiny_pipeline():
+def _tiny_pipeline(**pipeline_kw):
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +130,8 @@ def _tiny_pipeline():
     )
     return TTSPipeline(tts_cfg, tts_vars, voc_cfg, voc_vars,
                        cleaner_names=["english_cleaners"], r=5,
-                       backend="scan", tts_steps=20, deterministic=True)
+                       backend="scan", tts_steps=20, deterministic=True,
+                       **pipeline_kw)
 
 
 def test_tts_stream_server_matches_unmultiplexed_two_stage():

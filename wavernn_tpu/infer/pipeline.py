@@ -33,6 +33,9 @@ class TTSPipeline:
         docs/ROADMAP.md).
       deterministic: mode/argmax vocoder draws instead of sampling
         (reproducible serving; used by equality tests).
+      mesh: optional parallel.mesh.MeshPlan — vocoder decodes shard their
+        fold axis over the mesh's 'data' axis (multi-chip
+        sequence-parallel generation, as gen_wavernn.py --mesh).
     """
 
     def __init__(self, tts_cfg: TacotronConfig, tts_variables,
@@ -40,14 +43,14 @@ class TTSPipeline:
                  cleaner_names: Sequence[str], r: int,
                  backend: str = "scan", tts_steps: int = 2000,
                  tts_backend: str = "auto", int8_gates: bool = False,
-                 deterministic: bool = False):
+                 deterministic: bool = False, mesh=None):
         self.r = r
         self.cleaners = list(cleaner_names)
         self.tts = TTSGenerator(tts_cfg, tts_variables, steps=tts_steps,
                                 backend=tts_backend)
         self.voc = Generator(voc_cfg, voc_variables, backend=backend,
                              fold_bucket=16, int8_gates=int8_gates,
-                             deterministic=deterministic)
+                             deterministic=deterministic, mesh=mesh)
 
     def __call__(self, texts: Sequence[str], target: int = 11_000,
                  overlap: int = 550, mu_law: bool = True,
