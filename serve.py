@@ -95,14 +95,15 @@ def main():
               f"({len(jax.devices())} devices)")
 
     backend = "pallas" if platform == "tpu" else "scan"
+    int8_gates = bool(hp.get("gen_int8", False))  # same knob the gen CLIs honor
     pipeline = TTSPipeline(
         tts_cfg, {"params": tts_state.params,
                   "batch_stats": tts_state.batch_stats},
         voc_cfg, {"params": voc_state.params,
                   "batch_stats": voc_state.batch_stats},
         cleaner_names=hp.tts_cleaner_names, r=r, backend=backend,
-        tts_backend=args.tts_backend, deterministic=args.deterministic,
-        mesh=mesh)
+        tts_backend=args.tts_backend, int8_gates=int8_gates,
+        deterministic=args.deterministic, mesh=mesh)
 
     service = SynthesisService(
         pipeline, target=hp.voc_target, overlap=hp.voc_overlap,
@@ -128,7 +129,7 @@ def main():
         ("WaveRNN", f"{voc_state.get_step() // 1000}k"),
         ("Tacotron", f"{tts_state.get_step() // 1000}k"),
         ("r", r),
-        ("backend", backend),
+        ("backend", backend + (" (int8)" if int8_gates else "")),
         ("sessions", args.sessions),
         ("endpoint", f"http://{args.host}:{httpd.server_address[1]}"),
     ])

@@ -206,6 +206,39 @@ def test_service_close_drains_in_flight_sessions():
         svc.submit("more")
 
 
+def test_service_survives_scheduler_step_failure():
+    """An exception escaping the co-batched decode (device error, XLA OOM)
+    must not kill the scheduler thread: the in-flight session's consumer
+    receives the error, and the service keeps serving subsequent requests.
+    Regression: the step() call used to be unguarded, so one failure
+    bricked the daemon (every later submit hung until chunk_timeout)."""
+    from wavernn_tpu.infer.http_server import SynthesisService
+
+    svc = SynthesisService(_tiny_pipeline(), target=TARGET, overlap=OVERLAP,
+                           mu_law=True, group=2, width=8, capacity=2,
+                           chunk_timeout=120.0)
+    try:
+        want = np.concatenate(list(svc.submit("hello world")))
+
+        real_step = svc.server.step
+
+        def bad_step():
+            raise RuntimeError("injected device failure")
+
+        # the scheduler is idle (blocked on its request queue), so the
+        # patch is in place before the next session's first step
+        svc.server.step = bad_step
+        it = svc.submit("hello world")
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            list(it)
+
+        svc.server.step = real_step
+        got = np.concatenate(list(svc.submit("hello world")))
+        np.testing.assert_array_equal(got, want)
+    finally:
+        svc.close()
+
+
 def test_service_oneshot_with_mesh_matches_without():
     """Multi-chip serving from the daemon: a service over a mesh-sharded
     pipeline (vocoder folds over the 'data' axis, as serve.py --mesh wires

@@ -162,3 +162,49 @@ def test_tts_stream_server_matches_unmultiplexed_two_stage():
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-5)
     assert not srv.active
+
+
+def test_tts_server_surfaces_admission_failure_per_session(monkeypatch):
+    """A vocoder-admission failure (e.g. an utterance exceeding the pallas
+    slot size) must be routed to THAT session as a terminal Exception value
+    — not swallowed into silent empty audio, and not fatal to concurrent
+    sessions.  Regression: a bare `except ValueError` used to complete such
+    sessions with a 0-sample waveform."""
+    from wavernn_tpu.infer.stream_server import TTSStreamServer
+
+    pipe = _tiny_pipeline()
+    srv = TTSStreamServer(pipe, target=TARGET, overlap=OVERLAP, mu_law=True,
+                          group=2, width=8, capacity=2)
+
+    boom = ValueError("utterance needs 99 conditioning rows but the slot "
+                      "holds 1 — raise the server's slot_seconds")
+    healthy_add = srv.server.add
+    calls = {"n": 0}
+
+    def add(mel):
+        # vocoder admissions happen FIFO inside step(): fail the 2nd (and
+        # the 3rd, for the run() assertion below), keep the 1st healthy
+        calls["n"] += 1
+        if calls["n"] in (2, 3):
+            raise boom
+        return healthy_add(mel)
+
+    monkeypatch.setattr(srv.server, "add", add)
+
+    ok_sid = srv.add("hello world")
+    bad_sid = srv.add("hi there")
+
+    out, pieces = {}, []
+    while srv.active:
+        for sid, chunk in srv.step().items():
+            if sid == ok_sid and not isinstance(chunk, Exception):
+                pieces.append(chunk)
+            else:
+                out[sid] = chunk
+    assert out[bad_sid] is boom           # surfaced, not silent audio
+    assert bad_sid not in srv.active      # terminal for that session
+    assert len(np.concatenate(pieces)) > 0  # the healthy session completed
+
+    # run() raises the failure instead of returning empty audio
+    with pytest.raises(ValueError, match="slot"):
+        srv.run(["ok then"])

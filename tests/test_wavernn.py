@@ -257,6 +257,39 @@ def test_streaming_incremental_crossfade_matches_full_unfold():
     assert gen._finalize._cache_size() <= 3
 
 
+def test_streaming_tail_fade_spans_chunk_boundaries():
+    """When the final feed's chunk is SHORTER than the 20-hop tail fade
+    (needed_folds % group == 1 with a short last fold), the fade must still
+    cover the last min(20*hop, wave_len) samples of the waveform — i.e. it
+    is applied in global coordinates across chunk boundaries, exactly as
+    stream_oneshot fades.  Regression: the fade used to be clamped to the
+    final chunk, so stream() and the oracle diverged on these shapes."""
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    rng = np.random.default_rng(5)
+    # T_mel=99: wave_len=26950, stride=3300 -> needed_folds=9; group=2
+    # leaves a 1-fold final feed whose chunk (550) < fade (5500)
+    T_mel, target, overlap, group = 99, 2750, 550, 2
+    mel = rng.uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
+    gen = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    fold_bucket=4)
+
+    wave_len = (T_mel - 1) * cfg.hop_length
+    stride = target + overlap
+    needed = -(-wave_len // stride)
+    assert needed % group == 1 and wave_len - (needed - 1) * stride \
+        < 20 * cfg.hop_length  # the shape actually exercises the edge
+
+    streamed = np.concatenate(list(gen.stream(
+        mel, target=target, overlap=overlap, mu_law=True, group=group)))
+    oneshot = gen.stream_oneshot(mel, target=target, overlap=overlap,
+                                 mu_law=True, group=group)
+    assert streamed.shape == oneshot.shape == (wave_len,)
+    np.testing.assert_array_equal(streamed, oneshot)
+
+
 # --- sequence-chunked BPTT ---------------------------------------------------
 
 

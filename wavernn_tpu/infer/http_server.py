@@ -39,9 +39,10 @@ _UNKNOWN = 0xFFFFFFFF
 
 
 def pcm16(x: np.ndarray) -> np.ndarray:
-    """float waveform in [-1, 1] → little-endian int16 PCM."""
-    return (np.clip(np.asarray(x, np.float64), -1.0, 1.0)
-            * 32767.0).astype("<i2")
+    """float waveform in [-1, 1] → little-endian int16 PCM (rounded, the
+    same quantization dsp/wavio.py and the device int16 path use)."""
+    return np.round(np.clip(np.asarray(x, np.float64), -1.0, 1.0)
+                    * 32767.0).astype("<i2")
 
 
 def wav_header(sample_rate: int, n_bytes: Optional[int] = None) -> bytes:
@@ -139,8 +140,12 @@ class SynthesisService:
 
     @property
     def active(self) -> int:
-        return (len(self.server.active) + len(self._oneshots)
-                + self._requests.qsize())
+        # Called from HTTP handler threads while the scheduler mutates the
+        # session maps: use len() reads only (atomic under the GIL) — never
+        # iterate the scheduler's dicts from here.
+        srv = self.server
+        return (len(srv._tts_pending) + len(srv._voc_to_sid)
+                + len(self._oneshots) + self._requests.qsize())
 
     def close(self):
         """Stop accepting new texts and wait for in-flight sessions to
@@ -182,8 +187,10 @@ class SynthesisService:
         handle, out = self._oneshots.pop(0)
         pipe = self.server.pipeline
         try:
+            from wavernn_tpu.infer.pipeline import mel_from_linear
+
             _, m_linear, _ = pipe.tts.collect(handle)
-            mel = np.clip((m_linear + 4) / 8, 0, 1)
+            mel = mel_from_linear(m_linear)
             if mel.shape[-1] < 2:  # sub-hop mel: no audio to decode
                 self.served_sessions += 1
                 out.put(None)
@@ -220,14 +227,29 @@ class SynthesisService:
                 self._promote_oneshot()
             if not self.server.active:
                 continue
-            served = self.server.step()
-            done = set(self._queues) - set(self.server.active)
+            try:
+                served = self.server.step()
+            except Exception as e:  # noqa: BLE001 — a dead scheduler
+                # thread would brick the daemon: fail every in-flight
+                # session, reset the server's session state, keep serving
+                for q in self._queues.values():
+                    q.put(e)
+                self._queues.clear()
+                self.server.reset()
+                continue
             for sid, chunk in served.items():
                 q = self._queues.get(sid)
-                if q is not None and len(chunk):
+                if q is None:
+                    continue
+                if isinstance(chunk, Exception):
+                    # terminal per-session failure (e.g. utterance exceeds
+                    # the server's slot_seconds): raised by the consumer
+                    self.served_sessions += 1
+                    self._queues.pop(sid).put(chunk)
+                elif len(chunk):
                     self.served_samples += len(chunk)
                     q.put(np.asarray(chunk))
-            for sid in done:
+            for sid in set(self._queues) - set(self.server.active):
                 self.served_sessions += 1
                 self._queues.pop(sid).put(None)
         # closed with sessions still queued/in flight: unblock consumers

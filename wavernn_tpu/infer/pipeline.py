@@ -19,6 +19,13 @@ from wavernn_tpu.ops.decode import Generator
 from wavernn_tpu.text import text_to_sequence
 
 
+def mel_from_linear(m_linear) -> np.ndarray:
+    """Tacotron decoder output on its [-4, 4] training scale → the
+    vocoder's normalized [0, 1] mel convention (ref: gen_tacotron.py:144-145).
+    The single denormalization every serving path shares."""
+    return np.clip((np.asarray(m_linear) + 4) / 8, 0, 1)
+
+
 class TTSPipeline:
     """End-to-end synthesis: text strings → waveforms.
 
@@ -59,8 +66,7 @@ class TTSPipeline:
         seqs = [text_to_sequence(t.strip(), self.cleaners) for t in texts]
         mels = []
         for _, m_linear, _ in self.tts.batch(seqs, r=self.r):
-            # rescale decoder output [-4,4] → normalized mel [0,1]
-            mels.append(np.clip((m_linear + 4) / 8, 0, 1))
+            mels.append(mel_from_linear(m_linear))
         return self.voc.generate_batch(
             mels, target=target, overlap=overlap, mu_law=mu_law, seed=seed
         )
@@ -85,7 +91,7 @@ class TTSPipeline:
         voc_prev = None
         for i in range(n):
             _, m_linear, _ = self.tts.collect(tts_h.pop(i))
-            mel = np.clip((m_linear + 4) / 8, 0, 1)
+            mel = mel_from_linear(m_linear)
             vh = self.voc.submit(mel, True, target, overlap, mu_law,
                                  seed + i)
             # start the result's device->host copy as soon as its in-order

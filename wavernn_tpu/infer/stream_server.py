@@ -49,6 +49,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from wavernn_tpu.infer.pipeline import mel_from_linear
 from wavernn_tpu.ops.decode import Generator, _IncrementalUnfold, _round_up
 
 
@@ -173,6 +174,15 @@ class StreamServer:
         with N concurrent sessions this grows ~N× slower than the sum of
         the sessions' solo chunk counts."""
         return self._launches
+
+    def reset(self) -> None:
+        """Drop every in-flight session and free all slots — crash
+        recovery after a failed :meth:`step` (a mid-launch error can leave
+        session progress inconsistent; the slot buffer needs no clearing
+        since admissions overwrite their slot)."""
+        self._sessions.clear()
+        if self.gen.backend == "pallas":
+            self._free_slots = list(range(self.capacity))
 
     # -- scheduling --------------------------------------------------------
 
@@ -315,21 +325,38 @@ class TTSStreamServer:
         return sorted([sid for sid, _ in self._tts_pending]
                       + list(self._voc_to_sid.values()))
 
+    def reset(self) -> None:
+        """Drop every in-flight session (pending mel decodes are abandoned;
+        their device programs finish harmlessly) — crash recovery after a
+        failed :meth:`step`."""
+        self._tts_pending.clear()
+        self._voc_to_sid.clear()
+        self.server.reset()
+
     def step(self) -> Dict[int, np.ndarray]:
         """Admit finished mel decodes into free vocoder slots, then decode
         ONE co-batched vocoder launch.  Returns each served session's
         newly-final audio (an empty array marks a session whose mel was too
-        short to produce any)."""
+        short to produce any; an ``Exception`` value marks a session that
+        failed admission — e.g. its utterance exceeds ``slot_seconds`` —
+        and is terminal for that session only)."""
         out: Dict[int, np.ndarray] = {}
         while (self._tts_pending
                and len(self.server._sessions) < self.server.capacity):
             sid, handle = self._tts_pending.pop(0)
             _, m_linear, _ = self.pipeline.tts.collect(handle)
-            mel = np.clip((m_linear + 4) / 8, 0, 1)
+            mel = mel_from_linear(m_linear)
+            if mel.shape[-1] < 2:  # sub-hop mel: nothing to vocode
+                out[sid] = np.zeros(0, np.float64)
+                continue
             try:
                 voc_sid = self.server.add(mel)
-            except ValueError:  # sub-hop mel: nothing to vocode
-                out[sid] = np.zeros(0, np.float64)
+            except ValueError as e:
+                # e.g. the utterance exceeds slot_seconds: fail THIS session
+                # only — the exception is routed to its consumer as the
+                # session's (terminal) result instead of being swallowed
+                # into silent empty audio or killing the other sessions
+                out[sid] = e
                 continue
             self._voc_to_sid[voc_sid] = sid
         served = self.server.step()
@@ -345,11 +372,15 @@ class TTSStreamServer:
 
     def run(self, texts) -> List[np.ndarray]:
         """Convenience driver: admit every text, step until all sessions
-        complete, return each text's full waveform in input order."""
+        complete, return each text's full waveform in input order.  A
+        session-level failure (e.g. an utterance exceeding ``slot_seconds``)
+        raises."""
         sids = [self.add(t) for t in texts]
         pieces: Dict[int, List[np.ndarray]] = {sid: [] for sid in sids}
         while self.active:
             for sid, chunk in self.step().items():
+                if isinstance(chunk, Exception):
+                    raise chunk
                 pieces[sid].append(chunk)
         return [np.concatenate(pieces[sid]) if pieces[sid]
                 else np.zeros(0, np.float64) for sid in sids]

@@ -233,11 +233,19 @@ class _IncrementalUnfold:
             self.wave_len, g1 * self.stride
         )
         chunk = unfolded[self.emitted - base: final_upto - base]
-        if g1 >= self.needed_folds:
-            fade_len = min(20 * gen.cfg.hop_length, len(chunk))
-            if fade_len:
-                chunk = chunk.copy()
-                chunk[-fade_len:] *= np.linspace(1, 0, fade_len)
+        # Tail fade in GLOBAL waveform coordinates: the one-shot path fades
+        # the last min(20*hop, wave_len) samples of the whole waveform, so
+        # any chunk overlapping that window applies its slice of the same
+        # envelope — chunk boundaries (group size, server scheduling) cannot
+        # change the audio (stream ≡ stream_oneshot exactly).
+        fade = min(20 * gen.cfg.hop_length, self.wave_len)
+        fade_start = self.wave_len - fade
+        if fade and final_upto > fade_start:
+            chunk = chunk.copy()
+            a = max(self.emitted, fade_start)
+            env = np.linspace(1, 0, fade)
+            chunk[a - self.emitted:] *= env[a - fade_start:
+                                            final_upto - fade_start]
         self.emitted = final_upto
         self.g_done = g1
         return chunk
