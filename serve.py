@@ -53,6 +53,12 @@ def main():
                              "are then paid by the first requests)")
     parser.add_argument("--tts_backend", choices=["auto", "xla", "pallas"],
                         default="auto")
+    parser.add_argument("--output_dtype", choices=["int16", "float64"],
+                        default="int16",
+                        help="int16 (default): device-faded 16-bit PCM for "
+                             "BOTH one-shot and streamed responses — half "
+                             "the transfer bytes, no host-side quantization; "
+                             "float64: host-side quantization (debugging)")
     parser.add_argument("--mesh", "-m", action="store_true",
                         help="shard the vocoder's fold axis over the device "
                              "mesh (multi-chip sequence-parallel decode; "
@@ -103,7 +109,8 @@ def main():
                   "batch_stats": voc_state.batch_stats},
         cleaner_names=hp.tts_cleaner_names, r=r, backend=backend,
         tts_backend=args.tts_backend, int8_gates=int8_gates,
-        deterministic=args.deterministic, mesh=mesh)
+        deterministic=args.deterministic, mesh=mesh,
+        output_dtype=args.output_dtype)
 
     service = SynthesisService(
         pipeline, target=hp.voc_target, overlap=hp.voc_overlap,
@@ -129,7 +136,11 @@ def main():
         ("WaveRNN", f"{voc_state.get_step() // 1000}k"),
         ("Tacotron", f"{tts_state.get_step() // 1000}k"),
         ("r", r),
-        ("backend", backend + (" (int8)" if int8_gates else "")),
+        # int8_gates is a pallas-only knob (Generator ignores it on scan),
+        # so only advertise it when it is actually in effect
+        ("backend", backend + (" (int8)" if int8_gates
+                               and backend == "pallas" else "")),
+        ("output", args.output_dtype),
         ("sessions", args.sessions),
         ("endpoint", f"http://{args.host}:{httpd.server_address[1]}"),
     ])

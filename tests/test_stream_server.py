@@ -208,3 +208,56 @@ def test_tts_server_surfaces_admission_failure_per_session(monkeypatch):
     # run() raises the failure instead of returning empty audio
     with pytest.raises(ValueError, match="slot"):
         srv.run(["ok then"])
+
+
+def test_int16_stream_matches_quantized_float():
+    """output_dtype='int16' streaming: device-faded/quantized PCM chunks
+    from Generator.stream and StreamServer must match quantizing the float
+    path's stream, to 1 LSB (the device does the crossfade, GLOBAL tail
+    fade, and wavio-parity quantization in the finalize program)."""
+    from wavernn_tpu.infer.stream_server import StreamServer
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    _, variables, _, _ = init_model(cfg)
+    mels = [_mel(cfg, f, i) for i, f in enumerate([100, 70])]
+
+    kw = dict(backend="scan", frame_bucket=16, fold_bucket=4,
+              deterministic=True)
+    gen_f = Generator(cfg, variables, **kw)
+    gen_i = Generator(cfg, variables, output_dtype="int16", **kw)
+
+    solo_i16 = []
+    for m in mels:
+        f64 = np.concatenate(list(gen_f.stream(
+            m, target=TARGET, overlap=OVERLAP, mu_law=True, group=2)))
+        i16 = np.concatenate(list(gen_i.stream(
+            m, target=TARGET, overlap=OVERLAP, mu_law=True, group=2)))
+        solo_i16.append(i16)
+        assert i16.dtype == np.int16 and i16.shape == f64.shape
+        expect = np.round(np.clip(f64 * 32767.0, -32768, 32767))
+        np.testing.assert_allclose(i16.astype(np.float64), expect, atol=1.0)
+        # the vast majority must match exactly (only rounding ties differ)
+        assert (i16.astype(np.float64) == expect).mean() > 0.99
+
+    # the multi-session server carries the same int16 path per session
+    srv = StreamServer(gen_i, target=TARGET, overlap=OVERLAP, mu_law=True,
+                       group=2, width=8, capacity=4)
+    for got, want in zip(srv.run(mels), solo_i16):
+        assert got.dtype == np.int16 and got.shape == want.shape
+        np.testing.assert_allclose(got.astype(np.float64),
+                                   want.astype(np.float64), atol=1.0)
+
+
+def test_tts_stream_server_int16_chunks():
+    """A TTSStreamServer over an int16 pipeline serves device-quantized PCM
+    chunks end to end (including the empty-chunk dtype)."""
+    from wavernn_tpu.infer.stream_server import TTSStreamServer
+
+    pipe = _tiny_pipeline(output_dtype="int16")
+    srv = TTSStreamServer(pipe, target=TARGET, overlap=OVERLAP, mu_law=True,
+                          group=2, width=8, capacity=2)
+    waves = srv.run(["hello world", "ok then"])
+    assert all(w.dtype == np.int16 for w in waves)
+    assert any(len(w) and np.abs(w.astype(np.int32)).max() > 0
+               for w in waves)

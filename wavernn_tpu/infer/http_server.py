@@ -39,10 +39,15 @@ _UNKNOWN = 0xFFFFFFFF
 
 
 def pcm16(x: np.ndarray) -> np.ndarray:
-    """float waveform in [-1, 1] → little-endian int16 PCM (rounded, the
-    same quantization dsp/wavio.py and the device int16 path use)."""
-    return np.round(np.clip(np.asarray(x, np.float64), -1.0, 1.0)
-                    * 32767.0).astype("<i2")
+    """float waveform → little-endian int16 PCM, quantized exactly as
+    dsp/wavio.save_wav and the device int16 path do (scale then clip, so
+    -32768 stays reachable).  Already-int16 input (a device-quantized
+    chunk) passes through untouched."""
+    x = np.asarray(x)
+    if x.dtype == np.int16:
+        return x.astype("<i2", copy=False)
+    return np.round(np.clip(x.astype(np.float64) * 32767.0,
+                            -32768.0, 32767.0)).astype("<i2")
 
 
 def wav_header(sample_rate: int, n_bytes: Optional[int] = None) -> bytes:
@@ -133,18 +138,44 @@ class SynthesisService:
             if isinstance(item, tuple) and item[0] is _VOC_HANDLE:
                 # one-shot fast path: the scheduler dispatched the fused
                 # decode + async host copy; block HERE (consumer thread) on
-                # the transfer so the scheduler never waits on our result
-                yield self.server.pipeline.voc.collect(item[1])
+                # the transfer so the scheduler never waits on our result.
+                # The blocking fetch runs under a watchdog: a device failure
+                # that bricked this program must not hang the handler thread
+                # forever after the scheduler has already recovered.
+                yield self._collect_oneshot(item[1])
                 continue
             yield item
+
+    def _collect_oneshot(self, handle) -> np.ndarray:
+        """Resolve a one-shot vocoder handle with a bounded wait: the
+        device→host transfer itself cannot be interrupted, so it runs on a
+        daemon thread and this caller gives up after ``chunk_timeout``."""
+        result: dict = {}
+
+        def fetch():
+            try:
+                result["wav"] = self.server.pipeline.voc.collect(handle)
+            except Exception as e:  # noqa: BLE001 — routed to the consumer
+                result["err"] = e
+
+        t = threading.Thread(target=fetch, daemon=True,
+                             name="oneshot-collect")
+        t.start()
+        t.join(self.chunk_timeout)
+        if t.is_alive():
+            raise RuntimeError(
+                f"one-shot result transfer stalled >{self.chunk_timeout:.0f}s"
+                " — device failure while the program was in flight?")
+        if "err" in result:
+            raise result["err"]
+        return result["wav"]
 
     @property
     def active(self) -> int:
         # Called from HTTP handler threads while the scheduler mutates the
-        # session maps: use len() reads only (atomic under the GIL) — never
-        # iterate the scheduler's dicts from here.
-        srv = self.server
-        return (len(srv._tts_pending) + len(srv._voc_to_sid)
+        # session maps: active_count is len() reads only (atomic under the
+        # GIL) — never iterate the scheduler's dicts from here.
+        return (self.server.active_count
                 + len(self._oneshots) + self._requests.qsize())
 
     def close(self):

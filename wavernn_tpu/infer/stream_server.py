@@ -62,6 +62,7 @@ class _Session:
         self.sess = sess          # ops.decode.StreamSession
         self.fin = fin            # incremental finalizer (owns progress)
         self.slot = slot          # pallas slot index (None on scan)
+        self.dispatched = 0       # folds already in a dispatched launch
 
 
 class StreamServer:
@@ -70,9 +71,11 @@ class StreamServer:
     Parameters
     ----------
     gen : Generator
-        The decode runtime (scan or pallas backend).  Must not use
-        ``output_dtype='int16'`` (chunks are finalized host-side as float64,
-        matching ``Generator.stream``).
+        The decode runtime (scan or pallas backend).  With
+        ``output_dtype='int16'`` chunks arrive as device-faded 16-bit PCM
+        (crossfade, global tail fade, and quantization all in the finalize
+        program — the bandwidth-lean serving path); otherwise float64,
+        matching ``Generator.stream``.
     target, overlap : int
         Fold geometry, shared by every session (ref batched generate).
     mu_law : bool
@@ -94,11 +97,6 @@ class StreamServer:
                  mu_law: bool, group: int = 16, width: int = 64,
                  capacity: int = 4, slot_seconds: float = 30.0,
                  seed: int = 0):
-        if gen.output_dtype == "int16":
-            raise ValueError(
-                "StreamServer finalizes chunks host-side; build the "
-                "Generator with output_dtype='float64' (or 'float32')"
-            )
         self.gen = gen
         self.target = target
         self.overlap = overlap
@@ -112,6 +110,13 @@ class StreamServer:
         self._sessions: Dict[int, _Session] = {}
         self._next_sid = 0
         self._launches = 0
+        # one decode launch kept in flight ahead of the launch being
+        # finalized: step() dispatches the NEXT launch before draining the
+        # current one, so the host's fetch/finalize round-trips hide behind
+        # device decode compute (the round-3 relay-bound fix).  Scheduling
+        # uses each session's DISPATCHED fold count, so the lookahead never
+        # double-decodes a fold.
+        self._inflight = None     # (items, device rows) or None
 
         if gen.backend == "pallas":
             from wavernn_tpu.ops import pallas_decode
@@ -181,6 +186,7 @@ class StreamServer:
         session progress inconsistent; the slot buffer needs no clearing
         since admissions overwrite their slot)."""
         self._sessions.clear()
+        self._inflight = None
         if self.gen.backend == "pallas":
             self._free_slots = list(range(self.capacity))
 
@@ -188,14 +194,16 @@ class StreamServer:
 
     def _schedule(self):
         """Pick (session, g0, g1) work items: least-progress sessions first,
-        up to ``group`` folds each, ``width`` rows total."""
+        up to ``group`` folds each, ``width`` rows total.  Progress is the
+        DISPATCHED fold count (not yet-finalized), so the one-launch
+        lookahead never schedules a fold twice."""
         order = sorted(self._sessions.values(),
-                       key=lambda s: (s.fin.g_done, s.sid))
+                       key=lambda s: (s.dispatched, s.sid))
         items, used = [], 0
         for s in order:
             if used >= self.width:
                 break
-            g0 = s.fin.g_done
+            g0 = s.dispatched
             g1 = min(g0 + self.group, s.sess.needed_folds,
                      g0 + (self.width - used))
             if g1 > g0:
@@ -203,13 +211,13 @@ class StreamServer:
                 used += g1 - g0
         return items, used
 
-    def step(self) -> Dict[int, np.ndarray]:
-        """Decode ONE multiplexed launch and return each served session's
-        newly-final audio chunk (sessions that finished this step release
-        their slot).  Empty dict when idle."""
+    def _dispatch(self):
+        """Schedule and dispatch ONE multiplexed decode launch (plus the
+        async device→host copy of its rows); returns (items, device rows)
+        or None when no session has undispatched folds."""
         items, used = self._schedule()
         if not items:
-            return {}
+            return None
         key = jax.random.PRNGKey(self.seed * 1000003 + self._launches)
         self._launches += 1
 
@@ -222,24 +230,51 @@ class StreamServer:
                 starts[o: o + g1 - g0] = (
                     base + np.arange(g0, g1, dtype=np.int32) * s.sess.stride)
                 o += g1 - g0
-            rows = np.asarray(self._group_fn(
+            rows = self._group_fn(
                 self.gen.weights, self._buffer, jnp.asarray(starts), key,
                 fold_T=self.fold_T, T_pad=self.T_pad,
-            ))
+            )
         else:
             n_pad = self.gen._pad_folds(used)
             mf = np.concatenate([s.sess.mels_f[g0:g1] for s, g0, g1 in items])
             af = np.concatenate([s.sess.aux_f[g0:g1] for s, g0, g1 in items])
             mf = np.pad(mf, ((0, n_pad - used), (0, 0), (0, 0)))
             af = np.pad(af, ((0, n_pad - used), (0, 0), (0, 0)))
-            rows = np.asarray(self.gen._decode(
-                self.gen.weights, jnp.asarray(mf), jnp.asarray(af), key))
+            rows = self.gen._decode(
+                self.gen.weights, jnp.asarray(mf), jnp.asarray(af), key)
+        rows.copy_to_host_async()
+        for s, _, g1 in items:
+            s.dispatched = g1
+        return items, rows
+
+    def step(self) -> Dict[int, np.ndarray]:
+        """Serve ONE multiplexed launch and return each served session's
+        newly-final audio chunk (sessions that finished this step release
+        their slot).  Empty dict when idle.
+
+        Pipelined: the NEXT launch is dispatched before this one's rows are
+        drained, and every session's finalize program is dispatched before
+        any chunk is fetched — so in steady state the device decodes
+        continuously while the host handles transfers.  With deterministic
+        decode the served audio is identical to the unpipelined server (and
+        to each session's solo stream): fold rows and feed order per
+        session are unchanged; only dispatch timing moves.
+        """
+        if self._inflight is None:
+            self._inflight = self._dispatch()
+            if self._inflight is None:
+                return {}
+        items, rows_dev = self._inflight
+        self._inflight = self._dispatch()  # queue next before draining
+        rows = np.asarray(rows_dev)
 
         chunks: Dict[int, np.ndarray] = {}
-        o = 0
+        tokens, o = [], 0
         for s, g0, g1 in items:
-            chunk = s.fin.feed(rows[o: o + g1 - g0])
+            tokens.append((s, s.fin.feed_async(rows[o: o + g1 - g0])))
             o += g1 - g0
+        for s, token in tokens:
+            chunk = s.fin.collect(token)
             if len(chunk):
                 chunks[s.sid] = chunk
             if s.fin.done:
@@ -307,6 +342,10 @@ class TTSStreamServer:
         self._tts_pending: "List[tuple]" = []   # (sid, tts handle), FIFO
         self._voc_to_sid: Dict[int, int] = {}
         self._next_sid = 0
+        # empty-chunk dtype follows the vocoder's serving dtype
+        self._zero = np.zeros(
+            0, np.int16 if pipeline.voc.output_dtype == "int16"
+            else np.float64)
 
     def add(self, text: str) -> int:
         """Admit a text; its text→mel decode is dispatched immediately.
@@ -324,6 +363,12 @@ class TTSStreamServer:
     def active(self) -> List[int]:
         return sorted([sid for sid, _ in self._tts_pending]
                       + list(self._voc_to_sid.values()))
+
+    @property
+    def active_count(self) -> int:
+        """In-flight session count — len() reads only, safe to call from
+        other threads while the scheduler thread mutates the maps."""
+        return len(self._tts_pending) + len(self._voc_to_sid)
 
     def reset(self) -> None:
         """Drop every in-flight session (pending mel decodes are abandoned;
@@ -347,7 +392,7 @@ class TTSStreamServer:
             _, m_linear, _ = self.pipeline.tts.collect(handle)
             mel = mel_from_linear(m_linear)
             if mel.shape[-1] < 2:  # sub-hop mel: nothing to vocode
-                out[sid] = np.zeros(0, np.float64)
+                out[sid] = self._zero
                 continue
             try:
                 voc_sid = self.server.add(mel)
@@ -367,7 +412,7 @@ class TTSStreamServer:
             if voc_sid not in self.server._sessions:  # finished: unmap,
                 # and surface completion even on an empty final chunk
                 del self._voc_to_sid[voc_sid]
-                out.setdefault(sid, np.zeros(0, np.float64))
+                out.setdefault(sid, self._zero)
         return out
 
     def run(self, texts) -> List[np.ndarray]:
@@ -383,4 +428,4 @@ class TTSStreamServer:
                     raise chunk
                 pieces[sid].append(chunk)
         return [np.concatenate(pieces[sid]) if pieces[sid]
-                else np.zeros(0, np.float64) for sid in sids]
+                else self._zero for sid in sids]

@@ -15,6 +15,7 @@ implementation and the fallback on CPU.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
 
@@ -188,6 +189,16 @@ class _IncrementalUnfold:
     with fixed-shape programs, and emits exactly the samples that have
     become final (every overlapping fold decoded).  Shared by
     Generator.stream and the multi-session StreamServer.
+
+    ``feed`` splits into :meth:`feed_async` (dispatch the finalize program
+    and advance the session cursor) and :meth:`collect` (drain it) so
+    pipelined callers can queue the NEXT decode launch before blocking on
+    this group's finalize — the device never idles on host round-trips.
+
+    When the owning Generator serves ``output_dtype='int16'``, chunks come
+    back as device-quantized 16-bit PCM: the crossfade unfold, the GLOBAL
+    tail-fade envelope slice, and the quantization all run in the finalize
+    program, so the host ships half the bytes and does no math.
     """
 
     def __init__(self, gen: "Generator", needed_folds: int, stride: int,
@@ -201,6 +212,15 @@ class _IncrementalUnfold:
         self.g_done = 0        # folds fed so far
         self.emitted = 0       # samples emitted so far
         self._prev_fold = None  # raw samples of the last fold fed
+        self.int16 = gen.output_dtype == "int16"
+        # Tail fade in GLOBAL waveform coordinates: the one-shot path fades
+        # the last min(20*hop, wave_len) samples of the whole waveform, so
+        # any chunk overlapping that window applies its slice of the same
+        # envelope — chunk boundaries (group size, server scheduling) cannot
+        # change the audio (stream ≡ stream_oneshot exactly).  The envelope
+        # is built once per session, not per feed.
+        self._fade = min(20 * gen.cfg.hop_length, wave_len)
+        self._env = None
 
     @property
     def done(self) -> bool:
@@ -209,6 +229,12 @@ class _IncrementalUnfold:
     def feed(self, samples: np.ndarray) -> np.ndarray:
         """Finalize raw fold rows for folds [g_done, g_done+len(samples));
         return the newly-final audio chunk (possibly empty)."""
+        return self.collect(self.feed_async(samples))
+
+    def feed_async(self, samples: np.ndarray):
+        """Dispatch the finalize program for these fold rows (plus an async
+        device→host copy of its result) and advance the session cursor;
+        returns a token for :meth:`collect`."""
         gen, g0 = self.gen, self.g_done
         g1 = g0 + samples.shape[0]
         if self._prev_fold is None:
@@ -219,35 +245,48 @@ class _IncrementalUnfold:
         n_win = window.shape[0]
         n_win_pad = _round_up(n_win, gen.fold_bucket)
         window_p = np.pad(window, ((0, n_win_pad - n_win), (0, 0)))
-        unfolded = np.asarray(
-            gen._finalize(
+        if self.int16:
+            dev = gen._finalize_pcm16(
+                jnp.asarray(window_p), jnp.asarray(n_win, jnp.int32),
+                jnp.asarray(base, jnp.int32),
+                jnp.asarray(self.wave_len, jnp.int32),
+                mu_law=self.mu_law, overlap=self.overlap,
+                n_classes=gen.cfg.n_classes,
+            )
+        else:
+            dev = gen._finalize(
                 jnp.asarray(window_p), jnp.asarray(n_win, jnp.int32),
                 mu_law=self.mu_law, batched=True, overlap=self.overlap,
                 n_classes=gen.cfg.n_classes,
-            ),
-            dtype=np.float64,
-        )
+            )
+        dev.copy_to_host_async()
         self._prev_fold = samples[-1]
-
         final_upto = self.wave_len if g1 >= self.needed_folds else min(
             self.wave_len, g1 * self.stride
         )
-        chunk = unfolded[self.emitted - base: final_upto - base]
-        # Tail fade in GLOBAL waveform coordinates: the one-shot path fades
-        # the last min(20*hop, wave_len) samples of the whole waveform, so
-        # any chunk overlapping that window applies its slice of the same
-        # envelope — chunk boundaries (group size, server scheduling) cannot
-        # change the audio (stream ≡ stream_oneshot exactly).
-        fade = min(20 * gen.cfg.hop_length, self.wave_len)
+        token = (dev, base, self.emitted, final_upto)
+        self.emitted = final_upto
+        self.g_done = g1
+        return token
+
+    def collect(self, token) -> np.ndarray:
+        """Drain a :meth:`feed_async` token to the newly-final audio chunk
+        (possibly empty): int16 tokens are already faded/quantized on
+        device; float tokens get the host-side envelope slice."""
+        dev, base, emitted, final_upto = token
+        if self.int16:
+            return np.asarray(dev)[emitted - base: final_upto - base]
+        unfolded = np.asarray(dev, dtype=np.float64)
+        chunk = unfolded[emitted - base: final_upto - base]
+        fade = self._fade
         fade_start = self.wave_len - fade
         if fade and final_upto > fade_start:
             chunk = chunk.copy()
-            a = max(self.emitted, fade_start)
-            env = np.linspace(1, 0, fade)
-            chunk[a - self.emitted:] *= env[a - fade_start:
-                                            final_upto - fade_start]
-        self.emitted = final_upto
-        self.g_done = g1
+            a = max(emitted, fade_start)
+            if self._env is None:
+                self._env = np.linspace(1, 0, fade)
+            chunk[a - emitted:] *= self._env[a - fade_start:
+                                             final_upto - fade_start]
         return chunk
 
 
@@ -336,9 +375,32 @@ class Generator:
             j = (idx - (wave_len - L)).astype(jnp.float32)
             factor = jnp.clip(1.0 - j / jnp.maximum(L - 1.0, 1.0), 0.0, 1.0)
             y = y * factor
+            # clip AFTER scaling, exactly as dsp/wavio.save_wav quantizes
+            # (so -32768 stays reachable for inputs below -1.0)
             return jnp.round(
-                jnp.clip(y, -1.0, 1.0) * 32767.0
+                jnp.clip(y * 32767.0, -32768.0, 32767.0)
             ).astype(jnp.int16)
+
+        @partial(jax.jit, static_argnames=("mu_law", "overlap", "n_classes"))
+        def finalize_pcm16(samples, num_folds, base, wave_len, *,
+                           mu_law: bool, overlap: int, n_classes: int):
+            """Streaming finalize for the int16 serving path: crossfade-
+            unfold one fold window, apply the slice of the GLOBAL tail-fade
+            envelope that lands in it (``base`` = the window's first sample
+            in waveform coordinates), and quantize to 16-bit PCM — all on
+            device, mirroring maybe_pcm16's one-shot math so chunked and
+            one-shot serving produce the same bytes."""
+            y = finalize(samples, num_folds, mu_law=mu_law, batched=True,
+                         overlap=overlap, n_classes=n_classes)
+            L = jnp.minimum(fade, wave_len).astype(jnp.float32)
+            gidx = base + jnp.arange(y.shape[0])
+            j = (gidx - (wave_len - L)).astype(jnp.float32)
+            factor = jnp.clip(1.0 - j / jnp.maximum(L - 1.0, 1.0), 0.0, 1.0)
+            return jnp.round(
+                jnp.clip(y * factor * 32767.0, -32768.0, 32767.0)
+            ).astype(jnp.int16)
+
+        self._finalize_pcm16 = finalize_pcm16
 
         @partial(jax.jit, static_argnames=("mu_law", "batched", "target",
                                            "overlap", "num_folds_padded"))
@@ -723,11 +785,16 @@ class Generator:
     def _stream_setup(self, mels, target: int, overlap: int, seed: int):
         """Shared streaming front-end: open a session and build the
         per-group fold decoder over it; return
-        ``(decode_group, needed_folds, stride, wave_len)``.
+        ``(launch_group, drain_group, needed_folds, stride, wave_len)``.
 
-        Both :meth:`stream` and :meth:`stream_oneshot` run their folds
-        through THIS closure, so the two differ only in finalization — which
-        is exactly the invariant ``tools/stream_latency.py`` asserts.
+        ``launch_group(g0, g1)`` dispatches one group's decode (plus an
+        async device→host copy of its rows) and returns a handle;
+        ``drain_group(handle)`` blocks for the rows.  The split lets
+        :meth:`stream` keep decode launches queued on the device while the
+        host finalizes earlier groups.  Both :meth:`stream` and
+        :meth:`stream_oneshot` run their folds through THESE closures, so
+        the two differ only in finalization — which is exactly the
+        invariant ``tools/stream_latency.py`` asserts.
         """
         sess = self.open_stream_session(mels, target, overlap)
         stride = sess.stride
@@ -735,38 +802,58 @@ class Generator:
         if self.backend == "pallas":
             group_fn = self._get_stream_group()
 
-            def decode_group(g0, g1):
+            def launch_group(g0, g1):
                 n = g1 - g0
                 n_pad = self._kernel_fold_pad(n)
                 starts = np.zeros(n_pad, np.int32)
                 starts[:n] = np.arange(g0, g1, dtype=np.int32) * stride
-                return np.asarray(group_fn(
+                dev = group_fn(
                     self.weights, sess.packed, jnp.asarray(starts),
                     jax.random.PRNGKey(seed + g0),
                     fold_T=sess.fold_T, T_pad=sess.T_pad,
-                ))[:n]
+                )
+                dev.copy_to_host_async()
+                return dev, n
         else:
-            def decode_group(g0, g1):
+            def launch_group(g0, g1):
                 n = g1 - g0
                 n_pad = self._pad_folds(n)
                 mf = jnp.pad(sess.mels_f[g0:g1],
                              ((0, n_pad - n), (0, 0), (0, 0)))
                 af = jnp.pad(sess.aux_f[g0:g1],
                              ((0, n_pad - n), (0, 0), (0, 0)))
-                return np.asarray(self._decode(
-                    self.weights, mf, af, jax.random.PRNGKey(seed + g0)
-                ))[:n]
+                dev = self._decode(
+                    self.weights, mf, af, jax.random.PRNGKey(seed + g0))
+                dev.copy_to_host_async()
+                return dev, n
 
-        return decode_group, sess.needed_folds, stride, sess.wave_len
+        def drain_group(handle):
+            dev, n = handle
+            return np.asarray(dev)[:n]
+
+        return launch_group, drain_group, sess.needed_folds, stride, \
+            sess.wave_len
 
     def stream(self, mels, target: int, overlap: int, mu_law: bool,
-               group: int = 16, seed: int = 0):
-        """Streaming synthesis: yield finalized float64 audio chunks as fold
-        groups finish decoding (BASELINE config 5: streaming TTS serving).
+               group: int = 16, seed: int = 0, lookahead: int = 2):
+        """Streaming synthesis: yield finalized audio chunks as fold groups
+        finish decoding (BASELINE config 5: streaming TTS serving).  Chunks
+        are float64, or device-faded 16-bit PCM when the Generator was built
+        with ``output_dtype='int16'``.
 
         Latency model: the first chunk arrives after ONE group of folds
         decodes (~group*target samples of audio) instead of after the whole
         utterance; each subsequent group extends the stream.
+
+        Pipelined dispatch: up to ``lookahead`` group decodes stay queued on
+        the device ahead of the group being finalized, and one finalize
+        program stays in flight behind them — so in steady state every host
+        round-trip (row fetch, chunk fetch, dispatch) hides behind device
+        decode compute, instead of the device idling ~1 RTT per group (the
+        round-3 relay-bound regime, docs/ROADMAP.md).  The emitted audio is
+        dispatch-order independent: with deterministic decode it is
+        sample-for-sample the unpipelined stream (group PRNG keys are keyed
+        by fold index, not launch time).
 
         Incremental crossfade finalization: only the single raw fold
         preceding the current group is carried as context — fold k-1 is the
@@ -777,16 +864,28 @@ class Generator:
         after group g the stream emits up to the next group's seam start.
         """
         mu_law = mu_law if self.cfg.mode == "RAW" else False
-        decode_group, needed_folds, stride, wave_len = self._stream_setup(
+        launch, drain, needed_folds, stride, wave_len = self._stream_setup(
             mels, target, overlap, seed)
         fin = _IncrementalUnfold(self, needed_folds, stride, wave_len,
                                  overlap, mu_law)
-        for g0 in range(0, needed_folds, group):
-            chunk = fin.feed(decode_group(g0, min(g0 + group, needed_folds)))
-            if len(chunk):
-                yield chunk
-            if fin.done:
-                return
+        spans = [(g0, min(g0 + group, needed_folds))
+                 for g0 in range(0, needed_folds, group)]
+        lookahead = max(1, lookahead)
+        decodes = deque()    # in-flight decode launches
+        finals = deque()     # in-flight finalize tokens
+        si = 0
+        while si < len(spans) or decodes or finals:
+            while si < len(spans) and len(decodes) < lookahead:
+                decodes.append(launch(*spans[si]))
+                si += 1
+            if decodes:
+                finals.append(fin.feed_async(drain(decodes.popleft())))
+            # hold one finalize in flight while decode work remains
+            hold = 1 if (si < len(spans) or decodes) else 0
+            while len(finals) > hold:
+                chunk = fin.collect(finals.popleft())
+                if len(chunk):
+                    yield chunk
 
     def stream_oneshot(self, mels, target: int, overlap: int, mu_law: bool,
                        group: int = 16, seed: int = 0) -> np.ndarray:
@@ -800,10 +899,10 @@ class Generator:
         """
         c = self.cfg
         mu_law = mu_law if c.mode == "RAW" else False
-        decode_group, needed_folds, _, wave_len = self._stream_setup(
+        launch, drain, needed_folds, _, wave_len = self._stream_setup(
             mels, target, overlap, seed)
         rows = np.concatenate(
-            [decode_group(g0, min(g0 + group, needed_folds))
+            [drain(launch(g0, min(g0 + group, needed_folds)))
              for g0 in range(0, needed_folds, group)], axis=0)
         n_pad = self._pad_folds(rows.shape[0])
         window = np.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
