@@ -53,3 +53,49 @@ def test_generator_short_mel_edge(hp_default):
     wav = gen(mel, batched=True, target=2750, overlap=550, mu_law=True)
     assert wav.shape == (2 * 275,)
     assert np.isfinite(wav).all()
+
+
+def test_trained_golden_checkpoint_decode_pinned(hp_default):
+    """Golden-audio regression: load the committed TRAINED tiny checkpoint
+    and replay a deterministic batched decode; the waveform must match the
+    pinned capture.  This pins the whole load→upsample→decode→crossfade
+    stack against drift — the role the reference's pretrained zips play
+    (ref: quick_start.py:12-21) — with a self-trained artifact
+    (tools/train_golden.py --which tiny, CPU-pinned f32 numerics)."""
+    import jax
+
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.ops.decode import Generator
+    from wavernn_tpu.utils.checkpoints import load_pytree
+
+    cfg = WaveRNNConfig(
+        rnn_dims=32, fc_dims=32, bits=9, pad=2, upsample_factors=(5, 5, 11),
+        feat_dims=80, compute_dims=16, res_out_dims=16, res_blocks=2,
+        hop_length=275, sample_rate=22050, mode="RAW",
+    )
+    model = WaveRNN(cfg)
+    import jax.numpy as jnp
+
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.hop_length)),
+        jnp.zeros((1, 1 + 2 * cfg.pad, cfg.feat_dims)), True,
+    )
+    blob = load_pytree(
+        {"params": template["params"],
+         "batch_stats": template["batch_stats"], "step": np.asarray(0)},
+        GOLDEN / "tiny_wavernn_raw.msgpack",
+    )
+    assert int(np.asarray(blob["step"])) == 300  # trained, not random
+
+    gen = Generator(
+        cfg, {"params": blob["params"], "batch_stats": blob["batch_stats"]},
+        backend="scan", frame_bucket=16, fold_bucket=4, deterministic=True,
+    )
+    mel = np.load(GOLDEN / "tiny_wavernn_raw_mel.npy")
+    wav = gen(mel, batched=True, target=2750, overlap=550, mu_law=True)
+    want = np.load(GOLDEN / "tiny_wavernn_raw_wav.npy").astype(np.float64)
+    assert wav.shape == want.shape
+    # f32 decode pinned on CPU; tolerance covers library-version jitter
+    np.testing.assert_allclose(wav, want, atol=1e-4)
+    # and it must be real signal, not silence
+    assert np.std(wav) > 0.01
