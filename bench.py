@@ -1,26 +1,68 @@
-"""Headline benchmark: batched WaveRNN synthesis rate per chip.
+"""Headline benchmark: every BASELINE.md tracked metric in ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": "wavernn_gen_khz_per_chip", "value": <kHz>, "unit": "kHz",
-   "vs_baseline": <value / 1102.5>}
+  {"metric": "wavernn_gen_khz_per_chip", "value": <kHz>, ...,
+   "tts_frames_per_s_b1": ..., "tts_frames_per_s_b8": ...,
+   "mcd_pallas": ..., "mcd_gate": "pass"|"fail",
+   "voc_train_ms_per_step": ..., "tts_train_ms_per_step": ...}
 
-Baseline: the driver-specified north-star of >50x realtime at 22.05 kHz per
-v5e chip (BASELINE.md) == 1102.5 kHz, i.e. vs_baseline > 1.0 beats it.
-The metric definition matches the reference's own generation-rate display:
-samples generated / wall-clock second (ref: models/fatchord_version.py:267-271).
+* WaveRNN kHz/chip — the reference's own generation-rate definition
+  (samples / wall-clock s, ref: models/fatchord_version.py:267-271) against
+  the >50x-realtime-per-chip north star (1102.5 kHz); decode runs on the
+  COMMITTED TRAINED golden weights (bench_assets/, tools/train_golden.py)
+  so the signal asserts are meaningful, with random-init fallback.
+* Copy-synthesis MCD QUALITY GATE — the pallas kernel vocodes the golden
+  eval mel with the trained weights; MCD must stay under the committed
+  scan-backend baseline + 30 dB (~2%), so a kernel numerics regression
+  (gate math, sampling, int8 path) fails the bench loudly instead of
+  hiding behind an unchanged speed number.
+* Tacotron mel frames/sec — B=1 (pallas kernel on TPU) and B=8 (XLA scan),
+  pipelined submit/collect-all like the vocoder strict clock.
+* Training throughput — vocoder step at the published config (B=32,
+  seq 1375) and Tacotron step (B=16, L=100, T=600, r=2), device-pipelined
+  (states chain through K steps; one scalar fetch at the end).
+
+Gate failure prints the full JSON line, then exits nonzero.
 """
 
 import json
 import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
+REPO = Path(__file__).parent
+ASSETS = REPO / "bench_assets"
+BASELINE_KHZ = 50.0 * 22050 / 1000.0  # >50x realtime at 22.05 kHz
 
-def main():
+
+def load_golden(cfg):
+    """Trained golden weights (tools/train_golden.py --which full), or None."""
+    path = ASSETS / "wavernn_mol_golden.msgpack"
+    if not path.exists():
+        return None
     import jax
     import jax.numpy as jnp
+
+    from wavernn_tpu.models.wavernn import WaveRNN
+    from wavernn_tpu.utils.checkpoints import load_pytree
+
+    model = WaveRNN(cfg)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.hop_length)),
+        jnp.zeros((1, 1 + 2 * cfg.pad, cfg.feat_dims)), True,
+    )
+    blob = load_pytree(
+        {"params": template["params"],
+         "batch_stats": template["batch_stats"], "step": np.asarray(0)},
+        path,
+    )
+    return {"params": blob["params"], "batch_stats": blob["batch_stats"]}
+
+
+def bench_vocoder(out):
+    import jax
 
     from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
     from wavernn_tpu.ops.decode import Generator
@@ -29,13 +71,16 @@ def main():
     backend = "pallas" if platform == "tpu" else "scan"
 
     cfg = WaveRNNConfig()  # full-size 512-dim MOL (the published config)
-    model = WaveRNN(cfg)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, cfg.hop_length)),
-        jnp.zeros((1, 1 + 2 * cfg.pad, cfg.feat_dims)),
-        True,
-    )
+    variables = load_golden(cfg)
+    out["weights"] = "golden_trained" if variables is not None else "random"
+    if variables is None:
+        import jax.numpy as jnp
+
+        model = WaveRNN(cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.hop_length)),
+            jnp.zeros((1, 1 + 2 * cfg.pad, cfg.feat_dims)), True,
+        )
     # int16 PCM serving output: the tail fade + 16-bit quantization run on
     # device and collect() ships WAV-payload bytes — half a float32's
     # transfer per sample (validated against the float path by
@@ -52,35 +97,19 @@ def main():
             for _ in range(runs)]
 
     # warmup / compile
-    wav = gen(mels[0], batched=True, target=target, overlap=overlap,
-              mu_law=False)
+    gen(mels[0], batched=True, target=target, overlap=overlap, mu_law=False)
     gen.generate_batch(mels, target=target, overlap=overlap, mu_law=False)
 
     # Pipelined serving throughput, samples/wall-clock — the reference's
-    # own metric definition (ref: models/fatchord_version.py:267-271, which
-    # times only the device-side sample loop with mels already resident).
-    # Inputs are prestaged; all utterances are submitted (single-program
-    # fused dispatches queue on the chip in order) and the clock stops only
-    # after EVERY utterance's audio has been fetched back to the host — the
-    # strict definition: all N host transfers are inside the clock.
-    # Headline = MEDIAN of ``passes`` timed passes (the axon relay between
-    # host and chip stalls for tens of ms at random; the median sheds that
-    # environment noise without cherry-picking); the best pass and the
-    # last-fetch-only (loose) rate are reported alongside for comparison
-    # with earlier rounds.
-    # Secondary: CO-BATCHED serving — ONE program serves all N utterances
-    # (generate_batch): folds pack into full 64-row kernel tile groups and
-    # the whole batch returns as one int16 transfer.  MEASURED SLOWER than
-    # pipelined per-utterance dispatches (docs/ROADMAP.md: the single
-    # program serializes its conditioning front-end ahead of 4 serial
-    # kernel groups, while pipelining hides each utterance's front-end and
-    # transfers behind device decode) — reported for disclosure, not the
-    # headline.
+    # own metric definition, STRICT clock: inputs prestaged, all N
+    # submitted (fused single-program dispatches queue on the chip in
+    # order), clock stops after EVERY utterance's audio is fetched.
+    # Headline = MEDIAN of ``passes`` timed passes (the axon relay stalls
+    # for tens of ms at random; the median sheds that environment noise).
+    # Secondary: CO-BATCHED serving (ONE program serves all N) — measured
+    # slower than pipelined dispatches (docs/ROADMAP.md), disclosed only.
     staged = [gen.prestage(m, batched=True, target=target, overlap=overlap)
               for m in mels]
-    # 9 passes (was 5): relay stall episodes are multi-second against a
-    # ~0.3 s timed pass, so one stall wrecks a whole pass — more passes
-    # stabilize the median without changing its definition
     passes = int(os.environ.get("BENCH_PASSES", "9"))
     cobatch, strict, loose = [], [], []
     for p in range(passes):
@@ -94,38 +123,35 @@ def main():
 
     for p in range(passes):
         t0 = time.time()
-        handles = [gen.submit(d, batched=True, target=target, overlap=overlap,
-                              mu_law=False, seed=p * runs + s + 1)
+        handles = [gen.submit(d, batched=True, target=target,
+                              overlap=overlap, mu_law=False,
+                              seed=p * runs + s + 1)
                    for s, d in enumerate(staged)]
         for h in handles:       # overlap result transfers with device compute
             gen.prefetch(h)
         waves = [gen.collect(h) for h in handles]
         dt_all = time.time() - t0
-        # output is int16 PCM (isfinite would be vacuous): assert each wave
-        # carries real signal — nonzero samples well above the LSB floor
+        # int16 output: assert real signal well above the LSB floor
         assert all(len(w) and np.abs(w.astype(np.int32)).max() > 256
                    for w in waves)
-        total = sum(len(w) for w in waves)
-        strict.append(total / dt_all / 1000.0)
+        strict.append(sum(len(w) for w in waves) / dt_all / 1000.0)
 
-        # loose pass (prior rounds' definition): clock stops once the LAST
-        # utterance's audio is fetched — device work is provably done, but
-        # the other N-1 host transfers fall outside the clock
+        # loose pass (prior rounds' definition): clock stops at the LAST
+        # utterance's fetch; the other N-1 transfers fall outside it
         t0 = time.time()
-        handles = [gen.submit(d, batched=True, target=target, overlap=overlap,
-                              mu_law=False, seed=(p + passes) * runs + s + 1)
+        handles = [gen.submit(d, batched=True, target=target,
+                              overlap=overlap, mu_law=False,
+                              seed=(p + passes) * runs + s + 1)
                    for s, d in enumerate(staged)]
         last = gen.collect(handles[-1])
         dt_last = time.time() - t0
         rest = [gen.collect(h) for h in handles[:-1]]
         loose.append((sum(len(w) for w in rest) + len(last)) / dt_last / 1e3)
+
     khz = float(np.median(strict))
-    baseline_khz = 50.0 * cfg.sample_rate / 1000.0  # 50x realtime
-    print(json.dumps({
-        "metric": "wavernn_gen_khz_per_chip",
+    out.update({
         "value": round(khz, 1),
-        "unit": "kHz",
-        "vs_baseline": round(khz / baseline_khz, 3),
+        "vs_baseline": round(khz / BASELINE_KHZ, 3),
         "mode": "pipelined_strict",  # all N transfers inside the clock
         "strict_best": round(max(strict), 1),
         "cobatch_median": round(float(np.median(cobatch)), 1),
@@ -134,7 +160,177 @@ def main():
         "loose_best": round(max(loose), 1),
         "passes": passes,
         "output": "pcm16",
-    }))
+    })
+    return cfg, variables, backend
+
+
+def bench_mcd_gate(out, cfg, variables, backend):
+    """Quality gate: trained-weights copy-synthesis MCD through the pallas
+    kernel (scan off-TPU) vs the committed scan baseline + 30 dB."""
+    meta_path = ASSETS / "golden_meta.json"
+    if out["weights"] != "golden_trained" or not meta_path.exists():
+        out["mcd_gate"] = "skipped (no golden assets)"
+        return
+    from wavernn_tpu.config import hp, default_hparams_path
+    from wavernn_tpu.infer.eval import copy_synthesis_mcd
+    from wavernn_tpu.ops.decode import Generator
+
+    if not hp.is_configured():
+        hp.configure(str(default_hparams_path()))
+    meta = json.loads(meta_path.read_text())
+    mel = np.load(ASSETS / "golden_eval_mel.npy")
+    gen = Generator(cfg, variables, backend=backend, fold_bucket=16)
+    scores = [float(copy_synthesis_mcd(
+        gen, mel, batched=True, target=11_000, overlap=550, mu_law=False,
+        seed=s)[0]) for s in range(3)]
+    mcd = float(np.mean(scores))
+    threshold = float(meta["mcd_scan_mean"]) + 30.0
+    out["mcd_pallas"] = round(mcd, 2)
+    out["mcd_threshold"] = round(threshold, 2)
+    out["mcd_scan_committed"] = meta["mcd_scan_mean"]
+    out["mcd_backend"] = backend
+    out["mcd_gate"] = "pass" if mcd < threshold else "fail"
+
+
+def bench_tacotron(out):
+    """Tacotron mel frames/sec, pipelined strict (submit K, collect all)."""
+    import jax
+
+    from wavernn_tpu.infer.tacotron import TTSGenerator
+    from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    r, frames = 2, 1500
+    cfg = TacotronConfig()
+    model = Tacotron(cfg)
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    x0 = jnp.asarray(rng.integers(1, cfg.num_chars, (1, 32)), jnp.int32)
+    m0 = jnp.asarray(rng.uniform(-4, 4, (1, 8, cfg.n_mels)), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0, m0, r, True)
+    seq = list(rng.integers(1, cfg.num_chars, 60))
+
+    def timed_b1(backend, K=5, reps=3):
+        gen = TTSGenerator(cfg, variables, steps=frames, backend=backend)
+        gen(seq, r=r)  # compile + warm (untrained: runs to the step cap)
+        best = 0.0
+        for _ in range(reps):
+            t0 = time.time()
+            handles = [gen.submit(seq, r=r) for _ in range(K)]
+            outs = [gen.collect(h) for h in handles]
+            dt = time.time() - t0
+            total = sum(o[0].shape[1] for o in outs)
+            best = max(best, total / dt)
+        return best
+
+    out["tts_frames_per_s_b1"] = round(
+        timed_b1("pallas" if on_tpu else "xla"), 1)
+    out["tts_b1_backend"] = "pallas" if on_tpu else "xla"
+
+    # B=8 co-batched decode on the XLA scan path (throughput config)
+    gen8 = TTSGenerator(cfg, variables, steps=frames, backend="xla")
+    seqs = [list(rng.integers(1, cfg.num_chars, 60)) for _ in range(8)]
+    gen8.batch(seqs, r=r)  # compile + warm
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        outs = gen8.batch(seqs, r=r)
+        dt = time.time() - t0
+        best = max(best, sum(m.shape[1] for m, _, _ in outs) / dt)
+    out["tts_frames_per_s_b8"] = round(best, 1)
+
+
+def bench_train(out):
+    """Published-config train-step times, device-pipelined (states chain
+    through K steps; one scalar fetch closes the clock)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.training.state import make_optimizer, new_train_state
+    from wavernn_tpu.training.tacotron import make_tts_train_step
+    from wavernn_tpu.training.wavernn import make_train_step
+
+    rng = np.random.default_rng(0)
+
+    # vocoder: B=32, seq_len=1375 (ref hparams.py:47-55)
+    cfg = WaveRNNConfig()
+    model = WaveRNN(cfg)
+    B, seq = 32, 1375
+    mel_win = seq // cfg.hop_length + 2 * cfg.pad
+    x = jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32)
+    m = jnp.asarray(rng.uniform(0, 1, (B, mel_win, cfg.feat_dims)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, m, True)
+    opt = make_optimizer(1e-4, 4.0)
+    state = new_train_state(variables["params"], variables["batch_stats"],
+                            opt)
+    step = make_train_step(model, opt, cfg.mode, donate=False)
+    state, loss, _ = step(state, x, y, m)
+    float(loss)  # compile + warm
+    K, best = 8, np.inf
+    for _ in range(3):
+        t0 = time.time()
+        s = state
+        for _ in range(K):
+            s, loss, _ = step(s, x, y, m)
+        float(loss)
+        best = min(best, (time.time() - t0) / K)
+    out["voc_train_ms_per_step"] = round(best * 1e3, 2)
+    out["voc_train_config"] = f"B{B}/seq{seq}"
+
+    # Tacotron: B=16, L=100, T=600, r=2 (the r=2 curriculum sessions)
+    tcfg = TacotronConfig()
+    tmodel = Tacotron(tcfg)
+    tb, L, T, r = 16, 100, 600, 2
+    tx = jnp.asarray(rng.integers(1, 60, (tb, L)), jnp.int32)
+    tm = jnp.asarray(rng.uniform(-4, 4, (tb, T, 80)), jnp.float32)
+    tvars = tmodel.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tx, tm, r, True)
+    tstate = new_train_state(tvars["params"], tvars["batch_stats"],
+                             optax.adam(1e-4))
+    tstep = make_tts_train_step(tmodel, optax.adam(1e-4), r=r, donate=False)
+    tstate, tloss, _, _, _ = tstep(tstate, tx, tm, jax.random.PRNGKey(2))
+    float(tloss)  # compile + warm
+    K, best = 4, np.inf
+    for _ in range(3):
+        t0 = time.time()
+        s = tstate
+        for _ in range(K):
+            s, tloss, _, _, _ = tstep(s, tx, tm, jax.random.PRNGKey(3))
+        float(tloss)
+        best = min(best, (time.time() - t0) / K)
+    out["tts_train_ms_per_step"] = round(best * 1e3, 2)
+    out["tts_train_config"] = f"B{tb}/L{L}/T{T}/r{r}"
+
+
+def main():
+    out = {"metric": "wavernn_gen_khz_per_chip", "unit": "kHz"}
+    cfg, variables, backend = bench_vocoder(out)
+
+    lite = os.environ.get("BENCH_LITE") == "1"
+    extras = (
+        [] if lite else
+        [("mcd", lambda: bench_mcd_gate(out, cfg, variables, backend)),
+         ("tts", lambda: bench_tacotron(out)),
+         ("train", lambda: bench_train(out))]
+    )
+    for name, fn in extras:
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(out))
+    if out.get("mcd_gate") == "fail":
+        sys.exit(1)
 
 
 if __name__ == "__main__":

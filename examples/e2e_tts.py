@@ -36,18 +36,27 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The note language: one character = one pure tone.  Notes are SHORT
-# (~10 mel frames) so note transitions — the moments where the decoder
-# cannot predict the next frame from its own output and must consult the
-# text — are frequent: that is what forces the attention to become
-# diagonal.  Long constant notes train a copy-last-frame decoder with flat
-# attention (measured failure mode).  Texts VARY in length so training
-# batches contain padded text positions, matching generation's padded
-# buckets; audio ends in silence so the decoder learns the stop condition.
-NOTES = {"a": 330.0, "b": 392.0, "c": 440.0, "d": 494.0, "e": 554.0}
+# The note language: one SYMBOL (after text normalization) = one pure
+# tone.  Notes are SHORT (~10 mel frames) so note transitions — the
+# moments where the decoder cannot predict the next frame from its own
+# output and must consult the text — are frequent: that is what forces the
+# attention to become diagonal.  Long constant notes train a
+# copy-last-frame decoder with flat attention (measured failure mode).
+# Texts VARY in length so training batches contain padded text positions,
+# matching generation's padded buckets; audio ends in silence so the
+# decoder learns the stop condition.
+#
+# The corpus routes through the FULL english_cleaners frontend (ref:
+# utils/text/cleaners.py:83-90, utils/text/__init__.py:30-38): raw texts
+# carry digits (verbalized — "2" → "two") and {ARPAbet} phoneme spans
+# (curly-brace parsing → @phoneme symbols), and the audio is synthesized
+# from the CLEANED symbol sequence, so training→generation exercises
+# number verbalization and phoneme spans end to end, not just in unit
+# tests.  Whitespace symbols render as silence.
 NOTE_SECONDS = 0.125
 TAIL_SILENCE_SECONDS = 0.25
 SR = 22050
+CLEANERS = ["english_cleaners"]
 
 # The corpus must be LARGE relative to the decoder's capacity: with a few
 # dozen melodies the decoder memorizes each sequence (identified from its
@@ -55,26 +64,69 @@ SR = 22050
 # (measured failure mode).  ~1200 random melodies make alignment the only
 # strategy that fits the data — the same reason real corpora align.
 _rng = np.random.default_rng(7)
-TRAIN_TEXTS = ["abcdeabcde", "ebcadebcad", "dcbaedcbae"] + [
-    "".join(_rng.choice(list("abcde"), int(n)))
-    for n in _rng.integers(8, 13, 1197)
-]
-EVAL_TEXTS = ["abcdeabcde", "ebcadebcad", "dcbaedcbae"]
+
+
+def _melody(n):
+    return "".join(_rng.choice(list("abcde"), int(n)))
+
+
+TRAIN_TEXTS = (
+    ["abcdeabcde", "ebcadebcad", "dcbaedcbae", "abc 2 de", "ab {AH} cde"]
+    + [_melody(n) for n in _rng.integers(8, 13, 1075)]
+    # digit + phoneme-span melodies: frequent enough that the decoder
+    # learns the verbalized "two" and the @AH symbol like any note
+    + [f"{_melody(4)} 2 {_melody(4)}" for _ in range(60)]
+    + [f"{_melody(4)} {{AH}} {_melody(4)}" for _ in range(60)]
+)
+EVAL_TEXTS = ["abcdeabcde", "abc 2 de", "ab {AH} cde"]
+
+
+def _symbol_tones():
+    """Deterministic symbol-id → tone map over every symbol the corpus
+    uses after cleaning (None = silence for whitespace), spaced ~26% apart
+    so the spectral gate's 12% windows never overlap."""
+    from wavernn_tpu.text import text_to_sequence
+    from wavernn_tpu.text.symbols import symbols
+
+    used = sorted({
+        sid
+        for text in TRAIN_TEXTS + EVAL_TEXTS
+        for sid in text_to_sequence(text, CLEANERS)
+    })
+    tones = {}
+    k = 0
+    for sid in used:
+        if symbols[sid].strip() in ("", "_", "~"):  # whitespace/pad/eos
+            tones[sid] = None
+        else:
+            tones[sid] = 261.6 * (1.26 ** k)
+            k += 1
+    return tones
+
+
+def _seq(text):
+    from wavernn_tpu.text import text_to_sequence
+
+    return text_to_sequence(text, CLEANERS)
 
 
 def build_corpus(wav_dir: Path):
     sys.path.insert(0, str(REPO))
     from wavernn_tpu.dsp import wavio
 
+    tones = _symbol_tones()
     wav_dir.mkdir(parents=True, exist_ok=True)
     n = int(NOTE_SECONDS * SR)
     t = np.arange(n) / SR
     env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / 300.0)
     tail = np.zeros(int(TAIL_SILENCE_SECONDS * SR), np.float32)
+    silence = np.zeros(n, np.float32)
     lines = []
     for i, text in enumerate(TRAIN_TEXTS):
         wav = np.concatenate([
-            0.5 * env * np.sin(2 * np.pi * NOTES[ch] * t) for ch in text
+            (silence if tones[sid] is None
+             else 0.5 * env * np.sin(2 * np.pi * tones[sid] * t))
+            for sid in _seq(text)
         ] + [tail]).astype(np.float32)
         wavio.save_wav(wav, wav_dir / f"utt{i}.wav", sr=SR)
         lines.append(f"utt{i}|{text}|{text}")
@@ -87,7 +139,7 @@ from hparams import *
 
 wav_path = 'wavs'
 data_path = 'data'
-tts_cleaner_names = ['basic_cleaners']
+tts_cleaner_names = ['english_cleaners']
 
 # vocoder: RAW mu-law, mid-size dims (tones are easy; speed over capacity)
 voc_mode = 'RAW'
@@ -162,19 +214,23 @@ def dominant_freq(seg: np.ndarray) -> float:
     return float(np.fft.rfftfreq(len(seg), 1 / SR)[int(np.argmax(w))])
 
 
-def spectral_match(wav: np.ndarray, text: str):
-    """Fraction of characters whose generated segment peaks at that
-    character's note (within 12%)."""
+def spectral_match(wav: np.ndarray, seq, tones):
+    """Fraction of CLEANED symbols whose generated segment peaks at that
+    symbol's note (within 12%); silence symbols (whitespace) are skipped —
+    they carry no tone to verify."""
     n = int(NOTE_SECONDS * SR)
-    hits = 0
-    for i, ch in enumerate(text):
+    hits = total = 0
+    for i, sid in enumerate(seq):
+        note = tones[sid]
+        if note is None:
+            continue
         seg = wav[i * n: (i + 1) * n]
         if len(seg) < n // 2:
             break
-        f = dominant_freq(seg)
-        if abs(f - NOTES[ch]) / NOTES[ch] < 0.12:
+        total += 1
+        if abs(dominant_freq(seg) - note) / note < 0.12:
             hits += 1
-    return hits / len(text)
+    return hits / max(total, 1)
 
 
 def main():
@@ -233,18 +289,27 @@ def main():
 def evaluate_gates(ws: Path, args):
     sys.path.insert(0, str(REPO))
     from wavernn_tpu.dsp import wavio
+    from wavernn_tpu.text.symbols import symbols
 
+    tones = _symbol_tones()
     out_dir = next((ws / "model_outputs").glob("*.tacotron"))
-    gates = {"utterances": []}
+    gates = {"cleaners": CLEANERS, "utterances": []}
     for i, text in enumerate(EVAL_TEXTS, 1):
         attn_file = next(out_dir.glob(f"{i}_*_attention.npy"))
         wav_file = next(p for p in out_dir.glob(f"{i}_*.wav"))
         attn = np.load(attn_file)
         wav = wavio.load_wav(wav_file, sr=SR)
-        mono, cov, sharp = diagonality(attn, len(text))
-        spec = spectral_match(np.asarray(wav, np.float64), text)
+        seq = _seq(text)
+        mono, cov, sharp = diagonality(attn, len(seq))
+        spec = spectral_match(np.asarray(wav, np.float64), seq, tones)
         gates["utterances"].append({
-            "text": text, "attn_monotone": round(mono, 3),
+            "text": text,
+            # the post-frontend symbol string: shows the verbalized digits
+            # / {ARPAbet} spans that actually flowed through the pipeline
+            "cleaned": "".join(
+                s if len(s) == 1 else f"[{s}]" for s in
+                (symbols[sid] for sid in seq)),
+            "attn_monotone": round(mono, 3),
             "attn_coverage": round(cov, 3), "attn_sharpness": round(sharp, 3),
             "spectral_match": round(spec, 3),
             "audio_s": round(len(wav) / SR, 2),

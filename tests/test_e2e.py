@@ -118,3 +118,75 @@ def test_tts_train_step_on_real_batches(tiny_corpus, hp_tiny):
     state, loss, gnorm, attn, m2 = step(state, chars, mel, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
     assert attn.shape[0] == 2 and attn.shape[1] == mel.shape[1] // r
+
+
+def test_gta_export_artifact_contract_and_voc_consumption(tiny_corpus,
+                                                          hp_tiny):
+    """GTA fine-tuning path (ref: train_tacotron.py:178-198 →
+    utils/dataset.py:35-64): create_gta_features must write one normalized
+    (n_mels, mel_len) array per utterance — frames aligned to the TRUE mel
+    length, values on the vocoder's [0,1] scale — and a vocoder train step
+    must consume the gta/ directory through get_vocoder_datasets(
+    train_gta=True)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.data.dataset import (get_tts_datasets,
+                                          get_vocoder_datasets)
+    from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.text.symbols import symbols
+    from wavernn_tpu.training.state import make_optimizer, new_train_state
+    from wavernn_tpu.training.tacotron import create_gta_features
+    from wavernn_tpu.training.wavernn import make_train_step
+
+    hp = hp_tiny
+    paths = tiny_corpus
+    r = 2
+
+    # trained-for-0-steps Tacotron: the artifact CONTRACT is what's tested
+    tts_cfg = TacotronConfig.from_hp(hp, num_chars=len(symbols))
+    tts_model = Tacotron(tts_cfg)
+    tts_vars = tts_model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 6, tts_cfg.n_mels)),
+        r, True,
+    )
+    tts_state = new_train_state(tts_vars["params"], tts_vars["batch_stats"],
+                                make_optimizer(1e-3, 4.0))
+
+    train_set, _ = get_tts_datasets(paths.data, batch_size=2, r=r,
+                                    drop_last=False)
+    create_gta_features(tts_cfg, tts_state, train_set, paths.gta, r)
+
+    import pickle as pkl
+    with open(paths.data / "dataset.pkl", "rb") as f:
+        dataset = pkl.load(f)
+    assert len(dataset) == 5
+    for item_id, mel_len in dataset:
+        gta = np.load(paths.gta / f"{item_id}.npy")
+        true_mel = np.load(paths.mel / f"{item_id}.npy")
+        # one file per utterance, frames trimmed to the TRUE mel length
+        # (batch padding must not leak into the artifact)
+        assert gta.shape == (hp.num_mels, mel_len)
+        assert true_mel.shape[-1] == mel_len
+        # normalized to the vocoder's scale: (gta+4)/8 of the [-4,4] head
+        assert gta.min() >= 0.0 - 1e-6 and gta.max() <= 1.0 + 1e-6
+        assert np.isfinite(gta).all()
+
+    # the --gta vocoder dataset pairs gta mels with the TRUE quantized
+    # audio; one train step must run on it
+    voc_cfg = WaveRNNConfig.from_hp(hp)
+    voc_model = WaveRNN(voc_cfg)
+    train_gta, _ = get_vocoder_datasets(paths.data, batch_size=2,
+                                        train_gta=True)
+    x, y, m = next(iter(train_gta))
+    assert m.shape[-1] == hp.num_mels
+    voc_vars = voc_model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                              jnp.asarray(m), True)
+    opt = make_optimizer(1e-3, 4.0)
+    state = new_train_state(voc_vars["params"], voc_vars["batch_stats"], opt)
+    step = make_train_step(voc_model, opt, voc_cfg.mode, donate=False)
+    state, loss, _ = step(state, x, y, m)
+    assert np.isfinite(float(loss))
+    assert state.get_step() == 1

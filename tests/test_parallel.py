@@ -376,3 +376,26 @@ def test_tacotron_sharded_train_step_matches_single_device(layout):
     for a, b in zip(jax.tree_util.tree_leaves(bs_1),
                     jax.tree_util.tree_leaves(bs_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_two_process_distributed_smoke():
+    """The multi-host init path (parallel/distributed.py) as EXECUTED code:
+    two local processes emulate two hosts (CPU backend, 2 virtual devices
+    each), initialize through maybe_initialize_distributed's env contract,
+    and must agree on a cross-process psum and one DP train-step loss
+    (tools/multihost_smoke.py)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "multihost_smoke.py"),
+         "--coordinator", "localhost:9471"],
+        capture_output=True, text=True, timeout=600, cwd=str(repo),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["ok"] and len(result["workers"]) == 2
+    assert all(w["psum"] == w["global_devices"] for w in result["workers"])
