@@ -271,15 +271,16 @@ def bench_train(out):
     opt = make_optimizer(1e-4, 4.0)
     state = new_train_state(variables["params"], variables["batch_stats"],
                             opt)
-    step = make_train_step(model, opt, cfg.mode, donate=False)
+    # donate=True is the production loop's configuration; the state chains
+    # forward through every timed step (donated buffers are never reused)
+    step = make_train_step(model, opt, cfg.mode, donate=True)
     state, loss, _ = step(state, x, y, m)
     float(loss)  # compile + warm
     K, best = 8, np.inf
     for _ in range(3):
         t0 = time.time()
-        s = state
         for _ in range(K):
-            s, loss, _ = step(s, x, y, m)
+            state, loss, _ = step(state, x, y, m)
         float(loss)
         best = min(best, (time.time() - t0) / K)
     out["voc_train_ms_per_step"] = round(best * 1e3, 2)
@@ -294,17 +295,17 @@ def bench_train(out):
     tvars = tmodel.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         tx, tm, r, True)
-    tstate = new_train_state(tvars["params"], tvars["batch_stats"],
-                             optax.adam(1e-4))
-    tstep = make_tts_train_step(tmodel, optax.adam(1e-4), r=r, donate=False)
+    topt = optax.adam(1e-4)
+    tstate = new_train_state(tvars["params"], tvars["batch_stats"], topt)
+    tstep = make_tts_train_step(tmodel, topt, r=r, donate=True)
     tstate, tloss, _, _, _ = tstep(tstate, tx, tm, jax.random.PRNGKey(2))
     float(tloss)  # compile + warm
     K, best = 4, np.inf
     for _ in range(3):
         t0 = time.time()
-        s = tstate
         for _ in range(K):
-            s, tloss, _, _, _ = tstep(s, tx, tm, jax.random.PRNGKey(3))
+            tstate, tloss, _, _, _ = tstep(tstate, tx, tm,
+                                           jax.random.PRNGKey(3))
         float(tloss)
         best = min(best, (time.time() - t0) / K)
     out["tts_train_ms_per_step"] = round(best * 1e3, 2)

@@ -88,7 +88,7 @@ def main():
 
     wave_secs = n_samples / cfg.sample_rate
     dt = float(np.median(total_dt))
-    print(json.dumps({
+    out = {
         "ttfc_ms": round(float(np.median(ttfc)) * 1e3, 1),
         "ttfc_best_ms": round(min(ttfc) * 1e3, 1),
         "first_chunk_audio_s": round(group * (target + overlap)
@@ -98,7 +98,33 @@ def main():
         "audio_s": round(wave_secs, 2),
         "parity_max_abs_diff": max_diff,
         "backend": backend,
-    }))
+    }
+
+    # int16 serving path: device-faded PCM chunks (half the chunk bytes,
+    # no host math) — the production /stream configuration
+    gen16 = Generator(cfg, variables, backend=backend, fold_bucket=16,
+                      output_dtype="int16")
+    for _ in gen16.stream(mel, target=target, overlap=overlap,
+                          mu_law=False, group=group):
+        pass
+    for tag, grp in (("int16", group), ("int16_g32", 32)):
+        ttfc16, dts = [], []
+        for p in range(3):
+            t0 = time.time()
+            first = None
+            n16 = 0
+            for ch in gen16.stream(mel, target=target, overlap=overlap,
+                                   mu_law=False, group=grp, seed=p):
+                if first is None:
+                    first = time.time() - t0
+                n16 += len(ch)
+            dts.append(time.time() - t0)
+            ttfc16.append(first)
+        d = float(np.median(dts))
+        out[f"{tag}_stream_khz"] = round(n16 / d / 1e3, 1)
+        out[f"{tag}_stream_xrt"] = round(n16 / cfg.sample_rate / d, 1)
+        out[f"{tag}_ttfc_ms"] = round(float(np.median(ttfc16)) * 1e3, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

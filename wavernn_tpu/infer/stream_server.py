@@ -242,7 +242,8 @@ class StreamServer:
             af = np.pad(af, ((0, n_pad - used), (0, 0), (0, 0)))
             rows = self.gen._decode(
                 self.gen.weights, jnp.asarray(mf), jnp.asarray(af), key)
-        rows.copy_to_host_async()
+        # rows stay DEVICE-RESIDENT: each session's finalize slices its
+        # rows in place (feed_async_dev) — only finished audio transfers
         for s, _, g1 in items:
             s.dispatched = g1
         return items, rows
@@ -266,12 +267,12 @@ class StreamServer:
                 return {}
         items, rows_dev = self._inflight
         self._inflight = self._dispatch()  # queue next before draining
-        rows = np.asarray(rows_dev)
 
         chunks: Dict[int, np.ndarray] = {}
         tokens, o = [], 0
         for s, g0, g1 in items:
-            tokens.append((s, s.fin.feed_async(rows[o: o + g1 - g0])))
+            tokens.append(
+                (s, s.fin.feed_async_dev(rows_dev, g1 - g0, offset=o)))
             o += g1 - g0
         for s, token in tokens:
             chunk = s.fin.collect(token)

@@ -269,6 +269,39 @@ class _IncrementalUnfold:
         self.g_done = g1
         return token
 
+    def feed_async_dev(self, rows_dev, n: int, offset: int = 0):
+        """Like :meth:`feed_async`, but over DEVICE-RESIDENT decode rows
+        (``n`` rows at row ``offset`` of ``rows_dev``): the crossfade
+        window is assembled on device from the device-held previous-fold
+        carry, so raw rows never transfer to the host — only the finished
+        chunk does.  The math is bit-identical to the host path (same
+        finalize program on the same f32 values; a host round trip
+        preserves bits).  ``offset`` is traced, so a multi-session server
+        feeding slices of one co-batched launch reuses one program."""
+        gen, g0 = self.gen, self.g_done
+        g1 = g0 + n
+        has_prev = self._prev_fold is not None
+        base = (g0 - 1) * self.stride if has_prev else 0
+        n_win = n + (1 if has_prev else 0)
+        dev, last = gen._finalize_stream_dev(
+            rows_dev, jnp.asarray(offset, jnp.int32),
+            self._prev_fold if has_prev else rows_dev[0],
+            jnp.asarray(base, jnp.int32),
+            jnp.asarray(self.wave_len, jnp.int32),
+            n=n, n_win_pad=_round_up(n_win, gen.fold_bucket),
+            has_prev=has_prev, mu_law=self.mu_law, overlap=self.overlap,
+            n_classes=gen.cfg.n_classes, pcm=self.int16,
+        )
+        dev.copy_to_host_async()
+        self._prev_fold = last  # device-resident carry
+        final_upto = self.wave_len if g1 >= self.needed_folds else min(
+            self.wave_len, g1 * self.stride
+        )
+        token = (dev, base, self.emitted, final_upto)
+        self.emitted = final_upto
+        self.g_done = g1
+        return token
+
     def collect(self, token) -> np.ndarray:
         """Drain a :meth:`feed_async` token to the newly-final audio chunk
         (possibly empty): int16 tokens are already faded/quantized on
@@ -401,6 +434,40 @@ class Generator:
             ).astype(jnp.int16)
 
         self._finalize_pcm16 = finalize_pcm16
+
+        @partial(jax.jit, static_argnames=("n", "n_win_pad", "has_prev",
+                                           "mu_law", "overlap", "n_classes",
+                                           "pcm"))
+        def finalize_stream_dev(rows, offset, prev, base, wave_len, *,
+                                n: int, n_win_pad: int, has_prev: bool,
+                                mu_law: bool, overlap: int, n_classes: int,
+                                pcm: bool):
+            """Streaming finalize over DEVICE-RESIDENT decode rows: build
+            the crossfade window on device (prev-fold carry + ``n`` rows at
+            traced row ``offset`` — a multi-session launch packs several
+            sessions' rows in one array), unfold, and return (window
+            output, last raw fold).  The raw rows never cross the host
+            link — only the finished audio does (the host path
+            round-tripped ~2 MB of rows per group over the relay, capping
+            streaming at ~half the decode rate)."""
+            w = jax.lax.dynamic_slice(
+                rows, (offset, 0), (n, rows.shape[1]))
+            if has_prev:
+                w = jnp.concatenate([prev[None], w], axis=0)
+            n_win = n + (1 if has_prev else 0)
+            w = jnp.pad(w, ((0, n_win_pad - n_win), (0, 0)))
+            last = w[n_win - 1]
+            if pcm:
+                out = finalize_pcm16(
+                    w, jnp.asarray(n_win, jnp.int32), base, wave_len,
+                    mu_law=mu_law, overlap=overlap, n_classes=n_classes)
+            else:
+                out = finalize(
+                    w, jnp.asarray(n_win, jnp.int32), mu_law=mu_law,
+                    batched=True, overlap=overlap, n_classes=n_classes)
+            return out, last
+
+        self._finalize_stream_dev = finalize_stream_dev
 
         @partial(jax.jit, static_argnames=("mu_law", "batched", "target",
                                            "overlap", "num_folds_padded"))
@@ -812,7 +879,6 @@ class Generator:
                     jax.random.PRNGKey(seed + g0),
                     fold_T=sess.fold_T, T_pad=sess.T_pad,
                 )
-                dev.copy_to_host_async()
                 return dev, n
         else:
             def launch_group(g0, g1):
@@ -824,7 +890,6 @@ class Generator:
                              ((0, n_pad - n), (0, 0), (0, 0)))
                 dev = self._decode(
                     self.weights, mf, af, jax.random.PRNGKey(seed + g0))
-                dev.copy_to_host_async()
                 return dev, n
 
         def drain_group(handle):
@@ -845,15 +910,18 @@ class Generator:
         decodes (~group*target samples of audio) instead of after the whole
         utterance; each subsequent group extends the stream.
 
-        Pipelined dispatch: up to ``lookahead`` group decodes stay queued on
-        the device ahead of the group being finalized, and one finalize
-        program stays in flight behind them — so in steady state every host
-        round-trip (row fetch, chunk fetch, dispatch) hides behind device
-        decode compute, instead of the device idling ~1 RTT per group (the
-        round-3 relay-bound regime, docs/ROADMAP.md).  The emitted audio is
-        dispatch-order independent: with deterministic decode it is
-        sample-for-sample the unpipelined stream (group PRNG keys are keyed
-        by fold index, not launch time).
+        Pipelined, device-resident dispatch: up to ``lookahead`` group
+        decodes stay queued on the device ahead of the group being
+        finalized, one finalize stays in flight behind them, and the raw
+        fold rows NEVER cross the host link — each finalize reads its
+        group's rows and the previous-fold carry in place on device
+        (_finalize_stream_dev), so the only per-group transfer is the
+        finished audio chunk.  In steady state the stream runs at the
+        device decode rate instead of the round-3 relay-bound regime
+        (docs/ROADMAP.md).  The emitted audio is dispatch-order
+        independent: with deterministic decode it is sample-for-sample the
+        unpipelined stream (group PRNG keys are keyed by fold index, not
+        launch time).
 
         Incremental crossfade finalization: only the single raw fold
         preceding the current group is carried as context — fold k-1 is the
@@ -879,7 +947,7 @@ class Generator:
                 decodes.append(launch(*spans[si]))
                 si += 1
             if decodes:
-                finals.append(fin.feed_async(drain(decodes.popleft())))
+                finals.append(fin.feed_async_dev(*decodes.popleft()))
             # hold one finalize in flight while decode work remains
             hold = 1 if (si < len(spans) or decodes) else 0
             while len(finals) > hold:
