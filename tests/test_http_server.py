@@ -257,3 +257,40 @@ def test_service_oneshot_with_mesh_matches_without():
     want = run()
     got = run(mesh=make_mesh())  # 8 virtual devices (conftest)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_int16_service_stream_matches_oneshot_bytes():
+    """An int16 pipeline serves DEVICE-quantized PCM end to end: /stream's
+    chunked payload must byte-match /synthesize's one-shot payload under
+    deterministic decode (the chunked path's device fade/quantization is
+    the same math as the fused one-shot program, to 1 LSB)."""
+    import numpy as np
+
+    from wavernn_tpu.infer.http_server import (SynthesisService,
+                                               make_http_server)
+
+    service = SynthesisService(
+        _tiny_pipeline(output_dtype="int16"), target=TARGET,
+        overlap=OVERLAP, mu_law=True, group=2, width=8, capacity=2,
+        chunk_timeout=120.0)
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        body = {"text": "hello world"}
+        code, _, oneshot = _post(port, "/synthesize", body)
+        assert code == 200
+        code, _, streamed = _post(port, "/stream", body)
+        assert code == 200
+        a = np.frombuffer(oneshot[44:], "<i2")
+        b = np.frombuffer(streamed[44:], "<i2")
+        assert a.shape == b.shape and len(a) > 1000
+        np.testing.assert_allclose(a.astype(np.int32), b.astype(np.int32),
+                                   atol=1)
+        # vast majority exact (only fp-order rounding ties may differ)
+        assert (a == b).mean() > 0.99
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        service.close()
