@@ -52,7 +52,7 @@ REPO = Path(__file__).resolve().parent.parent
 # (curly-brace parsing → @phoneme symbols), and the audio is synthesized
 # from the CLEANED symbol sequence, so training→generation exercises
 # number verbalization and phoneme spans end to end, not just in unit
-# tests.  Whitespace symbols render as silence.
+# tests.
 NOTE_SECONDS = 0.125
 TAIL_SILENCE_SECONDS = 0.25
 SR = 22050
@@ -83,25 +83,22 @@ EVAL_TEXTS = ["abcdeabcde", "abc 2 de", "ab {AH} cde"]
 
 def _symbol_tones():
     """Deterministic symbol-id → tone map over every symbol the corpus
-    uses after cleaning (None = silence for whitespace), spaced ~26% apart
-    so the spectral gate's 12% windows never overlap."""
+    uses after cleaning, spaced 28% apart so the spectral gate's ±12%
+    windows never overlap.  EVERY symbol gets a tone — including the
+    space — so utterances are continuous tone streams: an in-utterance
+    silence would both mimic the mel padding value and trip the
+    generation stop condition (all-silent frame group = utterance over,
+    same contract as the reference's stop check) — the measured failure
+    mode of the first english-cleaners corpus, where training alignment
+    collapsed and generation stopped at the first space."""
     from wavernn_tpu.text import text_to_sequence
-    from wavernn_tpu.text.symbols import symbols
 
     used = sorted({
         sid
         for text in TRAIN_TEXTS + EVAL_TEXTS
         for sid in text_to_sequence(text, CLEANERS)
     })
-    tones = {}
-    k = 0
-    for sid in used:
-        if symbols[sid].strip() in ("", "_", "~"):  # whitespace/pad/eos
-            tones[sid] = None
-        else:
-            tones[sid] = 261.6 * (1.26 ** k)
-            k += 1
-    return tones
+    return {sid: 261.6 * (1.28 ** k) for k, sid in enumerate(used)}
 
 
 def _seq(text):
@@ -120,12 +117,10 @@ def build_corpus(wav_dir: Path):
     t = np.arange(n) / SR
     env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / 300.0)
     tail = np.zeros(int(TAIL_SILENCE_SECONDS * SR), np.float32)
-    silence = np.zeros(n, np.float32)
     lines = []
     for i, text in enumerate(TRAIN_TEXTS):
         wav = np.concatenate([
-            (silence if tones[sid] is None
-             else 0.5 * env * np.sin(2 * np.pi * tones[sid] * t))
+            0.5 * env * np.sin(2 * np.pi * tones[sid] * t)
             for sid in _seq(text)
         ] + [tail]).astype(np.float32)
         wavio.save_wav(wav, wav_dir / f"utt{i}.wav", sr=SR)
@@ -216,19 +211,15 @@ def dominant_freq(seg: np.ndarray) -> float:
 
 def spectral_match(wav: np.ndarray, seq, tones):
     """Fraction of CLEANED symbols whose generated segment peaks at that
-    symbol's note (within 12%); silence symbols (whitespace) are skipped —
-    they carry no tone to verify."""
+    symbol's note (within 12%)."""
     n = int(NOTE_SECONDS * SR)
     hits = total = 0
     for i, sid in enumerate(seq):
-        note = tones[sid]
-        if note is None:
-            continue
         seg = wav[i * n: (i + 1) * n]
         if len(seg) < n // 2:
             break
         total += 1
-        if abs(dominant_freq(seg) - note) / note < 0.12:
+        if abs(dominant_freq(seg) - tones[sid]) / tones[sid] < 0.12:
             hits += 1
     return hits / max(total, 1)
 

@@ -64,6 +64,10 @@ def main():
     run("sched=ghfirst (hoist hidden dots)", sched="ghfirst")
     run("ghfirst + bf16 transcendentals", sched="ghfirst",
         gate_dtype="bf16")
+    run("poly gates (Pade tanh, no transcendental)", gate_act="poly")
+    run("poly + bf16 gate math", gate_act="poly", gate_dtype="bf16")
+    run("blockcond (UNROLL-batched input dots)", block_cond=True)
+    run("blockcond + poly", block_cond=True, gate_act="poly")
 
 
 if __name__ == "__main__":

@@ -89,6 +89,7 @@ def _decode_kernel(
     gate_act: str = "tanh",
     gate_dtype: str = "f32",
     sched: str = "orig",
+    block_cond: bool = False,
 ):
     names = _weight_order(int8_gates)
     ws = dict(zip(names, rest))
@@ -181,14 +182,30 @@ def _decode_kernel(
         the hh-side n bias is scaled by r, so it stays separate."""
         if "gates" in ablate:  # dev ablation: linear state update
             return 0.5 * h + 0.01 * (gi[:, :H] + gh[:, :H])
-        if gate_act == "tanh":
+        if gate_act == "poly":
+            # dev A/B: rational Padé(7,6) tanh — |err| < 2e-7 on |x|<=4.6,
+            # clamped to the saturation region beyond (tanh(4.6)=0.99980;
+            # the clamp's own error is <2e-4 there).  Trades the
+            # transcendental lowering for mul/add chains + one VPU divide.
+            def tanh_poly(x):
+                x = jnp.clip(x, -4.6, 4.6)
+                x2 = x * x
+                p = x * (135135.0 + x2 * (17325.0 + x2 * (378.0 + x2)))
+                q = 135135.0 + x2 * (62370.0 + x2 * (3150.0 + 28.0 * x2))
+                return p / q
+
+            tanh_fn = tanh_poly
+            sg = lambda x: 0.5 * tanh_poly(0.5 * x) + 0.5
+        elif gate_act == "tanh":
             # default: sigmoid(x) = 0.5*(tanh(x/2)+1) — the same function,
             # but Mosaic's tanh lowering is cheaper than sigmoid's, and the
             # gate transcendentals are the kernel's largest non-matmul cost
             # (1.16 us/step of ~4.5 at B=64, tools/kernel_breakdown.py);
             # measured -0.1..-0.2 us/step at narrow widths
+            tanh_fn = jnp.tanh
             sg = lambda x: 0.5 * jnp.tanh(0.5 * x) + 0.5
         else:
+            tanh_fn = jnp.tanh
             sg = jax.nn.sigmoid
         tot = gi + b_r[...]
         if gate_dtype == "bf16":
@@ -199,12 +216,12 @@ def _decode_kernel(
             up = lambda x: x.astype(jnp.float32)
             r = up(sg(cast(tot[:, :H] + gh[:, :H])))
             z = up(sg(cast(tot[:, H:2 * H] + gh[:, H:2 * H])))
-            n = up(jnp.tanh(cast(
+            n = up(tanh_fn(cast(
                 tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))))
         else:
             r = sg(tot[:, :H] + gh[:, :H])
             z = sg(tot[:, H:2 * H] + gh[:, H:2 * H])
-            n = jnp.tanh(tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))
+            n = tanh_fn(tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))
         return (1.0 - z) * n + z * h
 
     def chunk_body(chunk, _):
@@ -226,19 +243,14 @@ def _decode_kernel(
         H3 = 3 * H
         F = w_fc1x.shape[1]
 
-        def one_step(i, x, h1, h2):
+        def one_step(i, x, h1, h2, pre=None, u=0):
             """One sample step on register-resident state; returns
             (sample, x', h1', h2').  (Cross-step software pipelining of the
             hidden gate dots was tried and measured SLOWER on v5e — the
             carried (B,3H) pre-activations cost more VMEM traffic than the
-            overlap saves.)"""
-            if "cond_read" in ablate:  # dev ablation
-                cond = jnp.zeros((B, SEG), jnp.bfloat16)
-            else:
-                cond = cond_vmem[slot, i]      # (B, SEG) bf16
-            seg0 = cond[:, :LANE]              # [mel | a1 | 0]
-            seg1 = cond[:, LANE:]              # [a2 | a3 | a4 | 0]
-
+            overlap saves.)  With ``pre`` (block_cond), the conditioning-
+            side dots were batched over the UNROLL window in block_body;
+            this step just slices its rows."""
             if sched == "ghfirst":
                 # dev A/B: issue BOTH hidden-state dots up front — they
                 # depend only on the previous step's h1/h2, so the MXU can
@@ -246,23 +258,39 @@ def _decode_kernel(
                 gh1_pre = gdot(h1, w_hh1, "w_hh1_s")
                 gh2_pre = gdot(h2, w_hh2, "w_hh2_s")
 
-            # All aux-segment projections in ONE dot (w_aux columns =
-            # [gru2-a2 | fc1-a3 | fc2-a4]): fewer MXU launches per step.
-            aux_all = jnp.dot(seg1, w_aux[...], preferred_element_type=jnp.float32)
+            if pre is not None:
+                aux_blk, gi1_blk, xi_blk = pre
+                aux_all = aux_blk[u * B:(u + 1) * B]
+                gi1 = x * u1[...] + gi1_blk[u * B:(u + 1) * B]
+                xi = x * w_x[...] + xi_blk[u * B:(u + 1) * B] + b_I[...]
+            else:
+                if "cond_read" in ablate:  # dev ablation
+                    cond = jnp.zeros((B, SEG), jnp.bfloat16)
+                else:
+                    cond = cond_vmem[slot, i]      # (B, SEG) bf16
+                seg0 = cond[:, :LANE]              # [mel | a1 | 0]
+                seg1 = cond[:, LANE:]              # [a2 | a3 | a4 | 0]
 
-            # gru1's input gates, PRECOMPOSED through the I projection
-            # (gi1 = xi @ w_ih1 with xi linear in [x, seg0] — the product
-            # matrices are folded at pack time, removing a serial dot and
-            # shrinking the contraction from H to LANE rows):
-            gi1 = x * u1[...] + jnp.dot(
-                seg0, w_Im1[...], preferred_element_type=jnp.float32)
+                # All aux-segment projections in ONE dot (w_aux columns =
+                # [gru2-a2 | fc1-a3 | fc2-a4]): fewer MXU launches per step.
+                aux_all = jnp.dot(seg1, w_aux[...],
+                                  preferred_element_type=jnp.float32)
 
-            # I projection (still needed for the residual path)
-            xi = (
-                x * w_x[...]
-                + jnp.dot(seg0, w_Im[...], preferred_element_type=jnp.float32)
-                + b_I[...]
-            )
+                # gru1's input gates, PRECOMPOSED through the I projection
+                # (gi1 = xi @ w_ih1 with xi linear in [x, seg0] — the
+                # product matrices are folded at pack time, removing a
+                # serial dot and shrinking the contraction from H to LANE
+                # rows):
+                gi1 = x * u1[...] + jnp.dot(
+                    seg0, w_Im1[...], preferred_element_type=jnp.float32)
+
+                # I projection (still needed for the residual path)
+                xi = (
+                    x * w_x[...]
+                    + jnp.dot(seg0, w_Im[...],
+                              preferred_element_type=jnp.float32)
+                    + b_I[...]
+                )
 
             if sched == "ghfirst":
                 gh1, gh2 = gh1_pre, gh2_pre
@@ -365,9 +393,29 @@ def _decode_kernel(
             x = x_ref[...]
             h1 = h1_ref[...]
             h2 = h2_ref[...]
+            if block_cond and "cond_read" not in ablate:
+                # batch the conditioning-side dots over the UNROLL window:
+                # three (U*B, LANE) @ (LANE, ·) dots per block instead of
+                # 3*U narrow (B, LANE) dots — better MXU row utilization;
+                # only the recurrent gh dots stay per-step
+                win = cond_vmem[
+                    slot,
+                    pl.ds(pl.multiple_of(jb * UNROLL_, UNROLL_), UNROLL_)]
+                flat = win.reshape(UNROLL_ * B, SEG)
+                pre = (
+                    jnp.dot(flat[:, LANE:], w_aux[...],
+                            preferred_element_type=jnp.float32),
+                    jnp.dot(flat[:, :LANE], w_Im1[...],
+                            preferred_element_type=jnp.float32),
+                    jnp.dot(flat[:, :LANE], w_Im[...],
+                            preferred_element_type=jnp.float32),
+                )
+            else:
+                pre = None
             samples = []
             for u in range(UNROLL_):
-                s, x, h1, h2 = one_step(jb * UNROLL_ + u, x, h1, h2)
+                s, x, h1, h2 = one_step(jb * UNROLL_ + u, x, h1, h2,
+                                        pre=pre, u=u)
                 samples.append(s)
             x_ref[...] = x
             h1_ref[...] = h1
@@ -593,7 +641,7 @@ def _weight_order(int8_gates: bool):
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
                      "int8_gates", "out_xpose", "mol_select", "gate_act",
-                     "gate_dtype", "sched"),
+                     "gate_dtype", "sched", "block_cond"),
 )
 def decode(
     weights: DecodeWeights,
@@ -616,6 +664,7 @@ def decode(
     gate_act: str = "tanh",       # GRU sigmoid lowering ("sigmoid" = legacy)
     gate_dtype: str = "f32",      # dev A/B: gate transcendental precision
     sched: str = "orig",          # dev A/B: per-step dot issue order
+    block_cond: bool = False,     # dev A/B: UNROLL-batched conditioning dots
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -665,6 +714,7 @@ def decode(
         chunk=chunk, unroll=unroll, ablate=ablate,
         int8_gates=int8_gates, out_xpose=out_xpose, mol_select=mol_select,
         gate_act=gate_act, gate_dtype=gate_dtype, sched=sched,
+        block_cond=block_cond,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
