@@ -68,6 +68,9 @@ def main():
     run("poly + bf16 gate math", gate_act="poly", gate_dtype="bf16")
     run("blockcond (UNROLL-batched input dots)", block_cond=True)
     run("blockcond + poly", block_cond=True, gate_act="poly")
+    run("int8_hh (fixed-scale state quant)", int8_hh=True)
+    run("int8_hh + ghfirst", int8_hh=True, sched="ghfirst")
+    run("int8 everything (round-3 loser, re-check)", int8_gates=True)
 
 
 if __name__ == "__main__":

@@ -336,7 +336,8 @@ class Generator:
                  fold_bucket: int = 4, frame_bucket: int = 32,
                  int8_gates: bool = False, mesh=None,
                  deterministic: bool = False,
-                 output_dtype: str = "float64"):
+                 output_dtype: str = "float64",
+                 int8_hh: bool = None):
         self.cfg = cfg
         self.variables = variables
         self.model = WaveRNN(cfg)
@@ -350,6 +351,14 @@ class Generator:
         # dispatch A/Bs.  Kept as an opt-in for future hardware/width
         # regimes; see pallas_decode.pack_weights.
         self.int8_gates = int8_gates
+        # pallas only: stream the two big recurrent matrices as int8 with a
+        # FIXED state-quantization scale (h bounded in [-1,1] by GRU
+        # construction, so none of full int8's dynamic-quant chain).
+        # Default ON since round 4: interleaved A/B ~ -4% us/step at 48
+        # folds; trained-weights MCD delta within the scan seed spread
+        # (docs/ROADMAP.md round-4 kernel section).
+        self.int8_hh = ((not int8_gates) if int8_hh is None
+                        else (int8_hh and not int8_gates))
         # mesh: a parallel.mesh.MeshPlan — batched decode shards the fold
         # axis over the mesh's 'data' axis (sequence-parallel generation:
         # folds of one utterance decode on different chips, SURVEY.md §5;
@@ -1059,7 +1068,7 @@ class Generator:
             fn = lambda w, m, a, k: pallas_decode.decode(
                 w, m, a, k,
                 mode=self.cfg.mode, n_classes=self.cfg.n_classes,
-                int8_gates=self.int8_gates,
+                int8_gates=self.int8_gates, int8_hh=self.int8_hh,
                 deterministic=self.deterministic,
             )
         else:
@@ -1087,7 +1096,8 @@ class Generator:
         fn = lambda w, c, k: pallas_decode.decode(
             w, None, None, k, mode=self.cfg.mode,
             n_classes=self.cfg.n_classes, cond=c, out_T=out_T,
-            int8_gates=self.int8_gates, deterministic=self.deterministic,
+            int8_gates=self.int8_gates, int8_hh=self.int8_hh,
+            deterministic=self.deterministic,
         )
         if self.mesh is not None:
             from wavernn_tpu.parallel.mesh import shard_cond_decode

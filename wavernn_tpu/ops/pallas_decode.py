@@ -90,8 +90,9 @@ def _decode_kernel(
     gate_dtype: str = "f32",
     sched: str = "orig",
     block_cond: bool = False,
+    int8_hh: bool = False,
 ):
-    names = _weight_order(int8_gates)
+    names = _weight_order(int8_gates, int8_hh)
     ws = dict(zip(names, rest))
     (out_hbm,             # f32 in HBM — (T,B) time-major or (B,T)
      cond_vmem,           # (2, CHUNK, B, SEG) bf16
@@ -176,6 +177,22 @@ def _decode_kernel(
             preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (sa * ws[scale_name][...])
 
+    def gdot_h(h, wq, scale_name):
+        """Recurrent-state gate matmul.  With int8_hh, the two big w_hh
+        matrices stream as int8 with per-column scales and the state is
+        quantized at a FIXED scale — h stays in [-1, 1] by GRU
+        construction (n = tanh, update a convex combination), so the
+        per-row dynamic max/divide chain that made full int8 a net loss
+        (docs/ROADMAP.md round 3) is one multiply+round here."""
+        if int8_hh:
+            qa = jnp.round(h * 127.0).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qa, wq[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (
+                ws[scale_name][...] * (1.0 / 127.0))
+        return gdot(h, wq, scale_name)
+
     def gru_gates(gi, gh, h, b_r, b_hh_n_r):
         """Torch-convention GRU update from precomputed input/hidden gate
         pre-activations (f32).  b_r packs b_ih+b_hh for r/z and b_ih for n;
@@ -255,8 +272,8 @@ def _decode_kernel(
                 # dev A/B: issue BOTH hidden-state dots up front — they
                 # depend only on the previous step's h1/h2, so the MXU can
                 # work on gh2 while the VPU runs gru1's gate math
-                gh1_pre = gdot(h1, w_hh1, "w_hh1_s")
-                gh2_pre = gdot(h2, w_hh2, "w_hh2_s")
+                gh1_pre = gdot_h(h1, w_hh1, "w_hh1_s")
+                gh2_pre = gdot_h(h2, w_hh2, "w_hh2_s")
 
             if pre is not None:
                 aux_blk, gi1_blk, xi_blk = pre
@@ -295,14 +312,14 @@ def _decode_kernel(
             if sched == "ghfirst":
                 gh1, gh2 = gh1_pre, gh2_pre
             else:
-                gh1 = gdot(h1, w_hh1, "w_hh1_s")
+                gh1 = gdot_h(h1, w_hh1, "w_hh1_s")
                 gh2 = None
             h1 = gru_gates(gi1, gh1, h1, b1, b_hh1_n)
             xr = xi + h1
 
             gi2 = gdot(xr, w_ih2x, "w_ih2x_s") + aux_all[:, :H3]
             if gh2 is None:
-                gh2 = gdot(h2, w_hh2, "w_hh2_s")
+                gh2 = gdot_h(h2, w_hh2, "w_hh2_s")
             h2 = gru_gates(gi2, gh2, h2, b2, b_hh2_n)
             xr = xr + h2
 
@@ -529,7 +546,7 @@ def pack_cond_stream(mels_up: jnp.ndarray, aux_mel: jnp.ndarray,
 
 
 def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
-                 int8_gates: bool = False):
+                 int8_gates: bool = False, int8_hh: bool = False):
     """Split/pad the decode weights into the kernel's aligned layout.
 
     ``int8_gates`` stores the three big GRU matrices (w_hh1, gru2's w_ih,
@@ -591,6 +608,19 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
             w_fc1x=w_fc1x_q, w_fc1x_s=w_fc1x_s,
             w_fc2x=w_fc2x_q, w_fc2x_s=w_fc2x_s,
         )
+    elif int8_hh:
+        # only the two recurrent matrices (the largest per-step streams):
+        # int8 weights + per-column scales; the state side quantizes at a
+        # FIXED scale in-kernel (h bounded in [-1,1]), so no dynamic chain
+        w_hh1_q, w_hh1_s = q8(w.gru1_w_hh)
+        w_hh2_q, w_hh2_s = q8(w.gru2_w_hh)
+        gate_entries = dict(
+            w_hh1=w_hh1_q, w_hh1_s=w_hh1_s,
+            w_hh2=w_hh2_q, w_hh2_s=w_hh2_s,
+            w_ih2x=bf(w.gru2_w_ih[:H]),
+            w_fc1x=bf(w.fc1_w[:H]),
+            w_fc2x=bf(w.fc2_w[:F]),
+        )
     else:
         gate_entries = dict(
             w_hh1=bf(w.gru1_w_hh),
@@ -621,7 +651,7 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
     )
 
 
-def _weight_order(int8_gates: bool):
+def _weight_order(int8_gates: bool, int8_hh: bool = False):
     order = [
         "w_x", "w_Im", "b_I",
         "u1", "w_Im1", "w_hh1", "b1", "b_hh1_n",
@@ -633,6 +663,8 @@ def _weight_order(int8_gates: bool):
     ]
     if int8_gates:
         order += ["w_hh1_s", "w_ih2x_s", "w_hh2_s", "w_fc1x_s", "w_fc2x_s"]
+    elif int8_hh:
+        order += ["w_hh1_s", "w_hh2_s"]
     return order
 
 
@@ -641,7 +673,7 @@ def _weight_order(int8_gates: bool):
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
                      "int8_gates", "out_xpose", "mol_select", "gate_act",
-                     "gate_dtype", "sched", "block_cond"),
+                     "gate_dtype", "sched", "block_cond", "int8_hh"),
 )
 def decode(
     weights: DecodeWeights,
@@ -665,6 +697,7 @@ def decode(
     gate_dtype: str = "f32",      # dev A/B: gate transcendental precision
     sched: str = "orig",          # dev A/B: per-step dot issue order
     block_cond: bool = False,     # dev A/B: UNROLL-batched conditioning dots
+    int8_hh: bool = False,        # int8 w_hh1/w_hh2 + FIXED-scale state quant
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -703,8 +736,9 @@ def decode(
 
     n_out = weights.fc3_w.shape[1]
     n_out_pad = _round_up(n_out, LANE)
+    assert not (int8_gates and int8_hh), "int8_gates and int8_hh are exclusive"
     packed = pack_weights(weights, feat, aux_d, n_out_pad,
-                          int8_gates=int8_gates)
+                          int8_gates=int8_gates, int8_hh=int8_hh)
 
     seed = jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
 
@@ -714,11 +748,11 @@ def decode(
         chunk=chunk, unroll=unroll, ablate=ablate,
         int8_gates=int8_gates, out_xpose=out_xpose, mol_select=mol_select,
         gate_act=gate_act, gate_dtype=gate_dtype, sched=sched,
-        block_cond=block_cond,
+        block_cond=block_cond, int8_hh=int8_hh,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
-    order = _weight_order(int8_gates)
+    order = _weight_order(int8_gates, int8_hh)
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in order]
 
     out = pl.pallas_call(
