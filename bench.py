@@ -58,7 +58,11 @@ def load_golden(cfg):
          "batch_stats": template["batch_stats"], "step": np.asarray(0)},
         path,
     )
-    return {"params": blob["params"], "batch_stats": blob["batch_stats"]}
+    # msgpack restores HOST numpy arrays: device_put ONCE, or every submit
+    # re-uploads ~17 MB of weights over the relay (measured 8x headline
+    # collapse when this was missed)
+    return jax.device_put(
+        {"params": blob["params"], "batch_stats": blob["batch_stats"]})
 
 
 def bench_vocoder(out):

@@ -390,3 +390,25 @@ def test_chunked_training_converges():
                               jnp.asarray(mels))
         first = float(loss) if first is None else first
     assert float(loss) < 0.5 * first, (first, float(loss))
+
+
+def test_generator_pins_host_weights_on_device():
+    """Checkpoint loaders hand back HOST numpy pytrees; the generators must
+    device_put them once at construction — numpy weights passed to a jitted
+    program re-upload the whole model every dispatch (measured 8x serving
+    collapse over a relay when this regressed)."""
+    import jax
+
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    _, variables, _, _ = init_model(cfg)
+    host_vars = jax.tree.map(np.asarray, jax.device_get(variables))
+    gen = Generator(cfg, host_vars, backend="scan")
+    for leaf in jax.tree_util.tree_leaves(gen.variables):
+        assert isinstance(leaf, jax.Array), type(leaf)
+    for leaf in jax.tree_util.tree_leaves(gen.weights):
+        assert isinstance(leaf, jax.Array), type(leaf)
+    gen.update_variables(host_vars)
+    for leaf in jax.tree_util.tree_leaves(gen.variables):
+        assert isinstance(leaf, jax.Array), type(leaf)

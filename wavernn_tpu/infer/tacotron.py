@@ -32,7 +32,10 @@ class TTSGenerator:
                  text_bucket: int = 32, backend: str = "auto",
                  int8_lstm: bool = False):
         self.cfg = cfg
-        self.variables = variables
+        # pin checkpoint-loaded (host numpy) weights on device once —
+        # numpy inputs to a jitted program re-upload per dispatch (see
+        # ops/decode.Generator)
+        self.variables = jax.device_put(variables)
         self.model = Tacotron(cfg)
         self.steps = steps
         self.text_bucket = text_bucket

@@ -339,7 +339,11 @@ class Generator:
                  output_dtype: str = "float64",
                  int8_hh: bool = None):
         self.cfg = cfg
-        self.variables = variables
+        # checkpoint loaders hand back HOST numpy pytrees; pin them on
+        # device ONCE — numpy weights passed to a jitted program re-upload
+        # the full model (~17 MB) on EVERY dispatch (measured 8x serving
+        # throughput collapse over the relay)
+        self.variables = jax.device_put(variables)
         self.model = WaveRNN(cfg)
         self.backend = backend
         # pallas only: stream the big GRU/FC matrices as int8.  Default
@@ -379,7 +383,7 @@ class Generator:
         self._upsample = jax.jit(
             lambda v, m: self.model.apply(v, m, False, method=WaveRNN.upsample_only)
         )
-        self.weights = extract_decode_weights(variables["params"])
+        self.weights = extract_decode_weights(self.variables["params"])
 
         @partial(jax.jit, static_argnames=("mu_law", "batched", "overlap",
                                            "n_classes"))
@@ -995,9 +999,10 @@ class Generator:
 
     def update_variables(self, variables) -> None:
         """Swap in new model variables (e.g. a fresher checkpoint) without
-        discarding compiled programs — variables/weights are program *inputs*."""
-        self.variables = variables
-        self.weights = extract_decode_weights(variables["params"])
+        discarding compiled programs — variables/weights are program *inputs*
+        (device-pinned once, as in __init__)."""
+        self.variables = jax.device_put(variables)
+        self.weights = extract_decode_weights(self.variables["params"])
 
     # -- internals -------------------------------------------------------------
 
