@@ -59,7 +59,8 @@ def main():
     pipe = TTSPipeline(tts_cfg, tts_vars, voc_cfg, voc_vars,
                        cleaner_names=["english_cleaners"], r=2,
                        backend="pallas", tts_steps=tts_steps,
-                       deterministic=True)
+                       deterministic=True,
+                       output_dtype="int16")  # the serve.py default
     service = SynthesisService(pipe, group=16, capacity=max(4, n_conc))
     httpd = make_http_server(service, "127.0.0.1", 0)
     port = httpd.server_address[1]
