@@ -72,9 +72,9 @@ def _row_argmax(x: jnp.ndarray) -> jnp.ndarray:
 def _decode_kernel(
     # scalar prefetch
     seed_ref,             # (1,) int32 in SMEM
-    # inputs: cond stream, then the packed weights in _weight_order
-    # (int8_gates appends the three gate-scale rows), then outputs/scratch
-    cond_hbm,             # (T, B, SEG) bf16 in HBM
+    # inputs: [flat mode: starts in SMEM], cond stream, then the packed
+    # weights in _weight_order (int8_gates appends the gate-scale rows),
+    # then outputs/scratch
     *rest,
     T: int,
     mode: str,
@@ -91,15 +91,29 @@ def _decode_kernel(
     sched: str = "orig",
     block_cond: bool = False,
     int8_hh: bool = False,
+    fold_major: bool = False,
 ):
+    # cond_hbm: time-major pre-gathered (T, B, SEG), or fold-major
+    # (B_total, T, SEG) built by fold_major_cond (contiguous per-fold
+    # slices; the time-major gather costs ~10x HBM speed-of-light)
+    cond_hbm, rest = rest[0], rest[1:]
     names = _weight_order(int8_gates, int8_hh)
     ws = dict(zip(names, rest))
-    (out_hbm,             # f32 in HBM — (T,B) time-major or (B,T)
-     cond_vmem,           # (2, CHUNK, B, SEG) bf16
-     out_vmem,            # f32 — (2,CHUNK,B) time-major or (2,B,CHUNK)
-     x_ref,               # (B, 1) f32 — current sample
-     h1_ref, h2_ref,      # (B, H) f32
-     in_sems, out_sems) = rest[len(names):]
+    if fold_major:
+        (out_hbm,         # f32 in HBM — (T,B) time-major or (B,T)
+         cond_vmem,       # (2, CHUNK, B, SEG) bf16 (time-major, compute)
+         stage_vmem,      # (2, B, CHUNK, SEG) bf16 (fold-major DMA stage)
+         out_vmem,        # f32 — (2,CHUNK,B) time-major or (2,B,CHUNK)
+         x_ref,           # (B, 1) f32 — current sample
+         h1_ref, h2_ref,  # (B, H) f32
+         in_sems, out_sems) = rest[len(names):]
+    else:
+        (out_hbm,
+         cond_vmem,
+         out_vmem,
+         x_ref,
+         h1_ref, h2_ref,
+         in_sems, out_sems) = rest[len(names):]
     w_x, w_Im, b_I = ws["w_x"], ws["w_Im"], ws["b_I"]
     u1, w_Im1 = ws["u1"], ws["w_Im1"]            # precomposed gru1 inputs
     w_hh1, b1, b_hh1_n = ws["w_hh1"], ws["b1"], ws["b_hh1_n"]
@@ -129,12 +143,25 @@ def _decode_kernel(
     g = pl.program_id(0)  # fold-group index
     b0 = pl.multiple_of(g * B, B)
 
-    def in_dma(slot, c):
-        return pltpu.make_async_copy(
-            cond_hbm.at[pl.ds(c * CHUNK_, CHUNK_), pl.ds(b0, B)],
-            cond_vmem.at[slot],
-            in_sems.at[slot],
-        )
+    if fold_major:
+        # one strided DMA per chunk: (B, CHUNK, SEG) from each fold's own
+        # contiguous row into the fold-major stage; the (B, CHUNK)
+        # transpose into the compute buffer happens on-core after the wait
+        # (8-sublane blocks), trading ~1.5 MB/chunk of VPU shuffles for
+        # the HBM row-gather the time-major layout needed on the host side
+        def in_dma(slot, c):
+            return pltpu.make_async_copy(
+                cond_hbm.at[pl.ds(b0, B), pl.ds(c * CHUNK_, CHUNK_)],
+                stage_vmem.at[slot],
+                in_sems.at[slot],
+            )
+    else:
+        def in_dma(slot, c):
+            return pltpu.make_async_copy(
+                cond_hbm.at[pl.ds(c * CHUNK_, CHUNK_), pl.ds(b0, B)],
+                cond_vmem.at[slot],
+                in_sems.at[slot],
+            )
 
     def out_dma(slot, c):
         if TIME_MAJOR_OUT:
@@ -249,6 +276,12 @@ def _decode_kernel(
             in_dma((chunk + 1) % 2, chunk + 1).start()
 
         in_dma(slot, chunk).wait()
+        if fold_major:
+            # stage (B, CHUNK, SEG) -> compute (CHUNK, B, SEG), 8 rows at
+            # a time (f32-sublane-aligned stores)
+            for kb in range(CHUNK_ // 8):
+                cond_vmem[slot, pl.ds(kb * 8, 8)] = jnp.swapaxes(
+                    stage_vmem[slot, :, pl.ds(kb * 8, 8)], 0, 1)
 
         @pl.when(chunk >= 2)
         def _():
@@ -524,6 +557,20 @@ def gather_cond(packed: jnp.ndarray, starts: jnp.ndarray,
     return packed[idx]
 
 
+def fold_major_cond(packed: jnp.ndarray, starts, T_pad: int) -> jnp.ndarray:
+    """(L, SEG) flat stream + fold start offsets → FOLD-MAJOR
+    (B_pad, T_pad, SEG) conditioning via B contiguous dynamic slices.
+    Runs at HBM copy speed; the row-gather form (gather_cond) measured
+    ~10x slower on v5e because each gathered row is only 512 B.  ``starts``
+    may be a traced int32 array (program reuse across fold layouts)."""
+    starts = jnp.asarray(starts, jnp.int32)
+    return jnp.stack([
+        jax.lax.dynamic_slice(packed, (starts[b], 0),
+                              (T_pad, packed.shape[1]))
+        for b in range(starts.shape[0])
+    ])
+
+
 def pack_cond_stream(mels_up: jnp.ndarray, aux_mel: jnp.ndarray,
                      total_scale: int, num_folds_padded: int,
                      target: int, overlap: int, T_pad: int) -> jnp.ndarray:
@@ -673,7 +720,8 @@ def _weight_order(int8_gates: bool, int8_hh: bool = False):
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
                      "int8_gates", "out_xpose", "mol_select", "gate_act",
-                     "gate_dtype", "sched", "block_cond", "int8_hh"),
+                     "gate_dtype", "sched", "block_cond", "int8_hh",
+                     "b_tile"),
 )
 def decode(
     weights: DecodeWeights,
@@ -698,6 +746,7 @@ def decode(
     sched: str = "orig",          # dev A/B: per-step dot issue order
     block_cond: bool = False,     # dev A/B: UNROLL-batched conditioning dots
     int8_hh: bool = False,        # int8 w_hh1/w_hh2 + FIXED-scale state quant
+    cond_fm: jnp.ndarray = None,  # fold-major (B_pad, T_pad, SEG) bf16
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -705,9 +754,19 @@ def decode(
     the measured-best production values); ``ablate`` is the dev-only
     cost-attribution knob (tools/kernel_breakdown.py).  When ``cond`` is
     given (built by pack_cond_stream), mels_up/aux are ignored and the
-    packing stage is skipped."""
+    packing stage is skipped.  ``cond_fm`` is the FOLD-MAJOR conditioning
+    (fold_major_cond: B contiguous slices of the flat packed stream —
+    HBM-speed, no transpose) and the kernel DMAs each fold's chunk window
+    from its own row; the time-major row-gather this replaces measured
+    ~8 ms of HBM churn per 24 s utterance on v5e."""
     H = weights.gru1_w_hh.shape[0]
-    if cond is not None:
+    flat = cond_fm is not None
+    if flat:
+        assert out_T is not None
+        B, T = cond_fm.shape[0], out_T
+        aux_d = weights.fc1_w.shape[0] - H
+        feat = weights.I_w.shape[0] - 1 - aux_d
+    elif cond is not None:
         T_pad_c, B_c, _ = cond.shape
         B, T = B_c, (out_T if out_T is not None else T_pad_c)
         aux_d = weights.fc1_w.shape[0] - H
@@ -727,7 +786,13 @@ def decode(
     T_pad = _round_up(T, chunk)
     time_major_out = unroll % 8 == 0
 
-    if cond is None:
+    if flat:
+        assert B_pad == B, (
+            f"fold-major decode needs sublane/tile-aligned fold counts: "
+            f"got {B}, need {B_pad} (pad with zero rows)")
+        assert cond_fm.shape[1] >= T_pad, (cond_fm.shape, T_pad)
+        cond = cond_fm
+    elif cond is None:
         cond = pack_conditioning(mels_up, aux, B_pad, T_pad)
     else:
         assert cond.shape[0] >= T_pad and cond.shape[1] == B_pad, (
@@ -748,7 +813,7 @@ def decode(
         chunk=chunk, unroll=unroll, ablate=ablate,
         int8_gates=int8_gates, out_xpose=out_xpose, mol_select=mol_select,
         gate_act=gate_act, gate_dtype=gate_dtype, sched=sched,
-        block_cond=block_cond, int8_hh=int8_hh,
+        block_cond=block_cond, int8_hh=int8_hh, fold_major=flat,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
@@ -764,6 +829,8 @@ def decode(
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, kernel_B, SEG), jnp.bfloat16),
+            ] + ([pltpu.VMEM((2, kernel_B, chunk, SEG), jnp.bfloat16)]
+                 if flat else []) + [
                 pltpu.VMEM((2, chunk, _round_up(kernel_B, LANE))
                            if time_major_out
                            else (2, kernel_B, chunk), jnp.float32),
