@@ -192,3 +192,31 @@ def test_kernel_int8_gates_close_to_scan(mode):
     ))
     agree = np.mean(np.abs(out_k - out_s) < 3e-2)
     assert agree > 0.9, f"agreement {agree}"
+
+
+def test_fold_major_cond_matches_gather_interpret():
+    """The fold-major conditioning path (fold_major_cond + in-kernel
+    staged transpose) must be BIT-EXACT vs the gathered time-major layout
+    — it is a pure data-movement change (also verified max|diff|=0.0 on
+    real TPU hardware, docs/ROADMAP.md round 4)."""
+    from wavernn_tpu.ops import pallas_decode
+
+    cfg = WaveRNNConfig()
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                   jnp.zeros((1, 5, 80)), True)
+    w = extract_decode_weights(v["params"])
+    rng = np.random.default_rng(0)
+    L, B, T = 96 * 127 + 256, 128, 128  # 2 kernel grid groups
+    flat = jnp.asarray(rng.uniform(-1, 1, (L, pallas_decode.SEG)),
+                       jnp.bfloat16)
+    starts = jnp.asarray(np.arange(B) * 96, jnp.int32)
+    cond = pallas_decode.gather_cond(flat, starts, 128)
+    fm = pallas_decode.fold_major_cond(flat, starts, 128)
+    ref = pallas_decode.decode(
+        w, None, None, jax.random.PRNGKey(0), mode="MOL", n_classes=30,
+        cond=cond, out_T=T, deterministic=True, interpret=True)
+    out = pallas_decode.decode(
+        w, None, None, jax.random.PRNGKey(0), mode="MOL", n_classes=30,
+        cond_fm=fm, out_T=T, deterministic=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
