@@ -194,6 +194,47 @@ def test_kernel_int8_gates_close_to_scan(mode):
     assert agree > 0.9, f"agreement {agree}"
 
 
+@pytest.mark.parametrize("mode", ["RAW", "MOL"])
+def test_kernel_int8_ff_close_to_scan(mode):
+    """int8 feed-forward weights (per-column scales fused with CALIBRATED
+    fixed activation bounds, ops/decode.py ff_ranges) stay distributionally
+    close to the f32 scan decoder — composed with int8_hh, the production
+    int8 stack."""
+    from wavernn_tpu.ops import pallas_decode
+    from wavernn_tpu.ops.decode import ff_ranges
+
+    cfg = small_cfg(mode)
+    w, mels_up, aux = make_inputs(cfg, B=4, T=256)
+    key = jax.random.PRNGKey(0)
+
+    # calibration rows from fold 0, in the kernel's packed lane layout
+    d = cfg.res_out_dims // 4
+    feat = cfg.feat_dims
+    LANE = pallas_decode.LANE
+    z = lambda k: jnp.zeros((mels_up.shape[1], k), jnp.float32)
+    rows = jnp.concatenate(
+        [mels_up[0], aux[0][:, :d], z(LANE - feat - d),
+         aux[0][:, d:], z(LANE - 3 * d)], axis=-1)
+    ffs = ff_ranges(w, rows, jax.random.PRNGKey(17), mode, cfg.n_classes)
+    assert np.all(np.asarray(ffs) > 0)
+
+    try:
+        out_k = np.asarray(pallas_decode.decode(
+            w, mels_up, aux, key, mode=mode, n_classes=cfg.n_classes,
+            deterministic=True, interpret=True, int8_ff=True, int8_hh=True,
+            ff_scales=ffs,
+        ))
+    except Exception as e:  # pragma: no cover - interpreter gaps
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+
+    out_s = np.asarray(decode_scan(
+        w, mels_up, aux, key, mode=mode, n_classes=cfg.n_classes,
+        deterministic=True,
+    ))
+    agree = np.mean(np.abs(out_k - out_s) < 3e-2)
+    assert agree > 0.9, f"agreement {agree}"
+
+
 def test_fold_major_cond_matches_gather_interpret():
     """The fold-major conditioning path (fold_major_cond + in-kernel
     staged transpose) must be BIT-EXACT vs the gathered time-major layout
@@ -213,10 +254,92 @@ def test_fold_major_cond_matches_gather_interpret():
     starts = jnp.asarray(np.arange(B) * 96, jnp.int32)
     cond = pallas_decode.gather_cond(flat, starts, 128)
     fm = pallas_decode.fold_major_cond(flat, starts, 128)
+    # b_tile=64 forces 2 sequential grid groups (the production default is
+    # 128-wide groups; the multi-group path is what this exercises)
     ref = pallas_decode.decode(
         w, None, None, jax.random.PRNGKey(0), mode="MOL", n_classes=30,
-        cond=cond, out_T=T, deterministic=True, interpret=True)
+        cond=cond, out_T=T, deterministic=True, interpret=True, b_tile=64)
     out = pallas_decode.decode(
         w, None, None, jax.random.PRNGKey(0), mode="MOL", n_classes=30,
-        cond_fm=fm, out_T=T, deterministic=True, interpret=True)
+        cond_fm=fm, out_T=T, deterministic=True, interpret=True, b_tile=64)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_ffs_calibration_never_caches_a_tracer():
+    """Generator._ffs is reached from INSIDE the jitted pipeline traces
+    (decode.py full_pipeline/batch_pipeline): with traced rows it must
+    fold the calibration into the program and must NOT cache the traced
+    result on self — a cached tracer escapes the trace and poisons every
+    later decode.  Concrete rows calibrate once and cache."""
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = small_cfg("MOL")
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                   jnp.zeros((1, 5, 80)), True)
+    gen = Generator(cfg, v, backend="scan", int8_ff=True)
+
+    rng = np.random.default_rng(3)
+    rows = jnp.asarray(rng.uniform(0, 1, (64, 256)), jnp.float32)
+
+    @jax.jit
+    def traced(w_rows):
+        return gen._ffs(gen.weights, w_rows)
+
+    ffs_traced = np.asarray(traced(rows))
+    assert gen._ff_scales is None, "traced calibration must not cache"
+    assert ffs_traced.shape == (3,) and (ffs_traced > 0).all()
+
+    ffs = gen._ffs(gen.weights, rows)
+    assert gen._ff_scales is not None
+    np.testing.assert_allclose(np.asarray(ffs), ffs_traced, rtol=1e-5)
+    # second concrete call returns the cache (same object)
+    assert gen._ffs(gen.weights, rows) is ffs
+
+
+def test_fold_tiling_geometry():
+    """Balanced fold-group tiling: sublane-aligned single groups up to one
+    tile, equal-width groups past it, and idempotence (a caller that
+    pre-pads conditioning with fold_tiling always agrees with decode())."""
+    from wavernn_tpu.ops.pallas_decode import B_TILE, SUBLANE_BF16, fold_tiling
+
+    assert fold_tiling(1) == (16, 1, 16)
+    assert fold_tiling(48) == (48, 1, 48)
+    assert fold_tiling(128) == (128, 1, 128)
+    # balanced splits, not round-up-to-tile
+    assert fold_tiling(129) == (160, 2, 80)
+    assert fold_tiling(160) == (160, 2, 80)
+    assert fold_tiling(240) == (256, 2, 128)
+    assert fold_tiling(257) == (288, 3, 96)
+    for b in list(range(1, 300)) + [511, 512, 513, 1000]:
+        b_pad, n_groups, kernel_b = fold_tiling(b)
+        assert b_pad == n_groups * kernel_b >= b
+        assert kernel_b <= B_TILE and kernel_b % SUBLANE_BF16 == 0
+        assert fold_tiling(b_pad) == (b_pad, n_groups, kernel_b), b
+
+
+def test_kernel_balanced_multigroup_matches_scan():
+    """Multi-group balanced tiling (B=40, b_tile=16 -> 3 groups of 16 with
+    8 zero-pad rows) must decode every REAL fold identically to the
+    single-group layout's guarantees (interpret mode vs scan)."""
+    from wavernn_tpu.ops import pallas_decode
+
+    cfg = small_cfg("MOL")
+    w, mels_up, aux = make_inputs(cfg, B=40, T=256)
+    key = jax.random.PRNGKey(0)
+
+    try:
+        out_k = np.asarray(pallas_decode.decode(
+            w, mels_up, aux, key, mode="MOL", n_classes=cfg.n_classes,
+            deterministic=True, interpret=True, b_tile=16,
+        ))
+    except Exception as e:  # pragma: no cover - interpreter gaps
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+
+    out_s = np.asarray(decode_scan(
+        w, mels_up, aux, key, mode="MOL", n_classes=cfg.n_classes,
+        deterministic=True,
+    ))
+    assert out_k.shape == out_s.shape == (40, 256)
+    agree = np.mean(np.abs(out_k - out_s) < 2e-2)
+    assert agree > 0.95, f"agreement {agree}"

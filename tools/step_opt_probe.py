@@ -24,8 +24,9 @@ import numpy as np
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    T = int(sys.argv[2]) if len(sys.argv) > 2 else 12160
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(pos[0]) if len(pos) > 0 else 48
+    T = int(pos[1]) if len(pos) > 1 else 12160
 
     from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
     from wavernn_tpu.ops import pallas_decode
@@ -60,17 +61,23 @@ def main():
         best = min(one_pass(p) for p in range(3))
         print(f"{name:44s} {best / (K * T) * 1e6:5.2f} us/step")
 
-    run("production default (bf16+tanh+maxmask)")
-    run("sched=ghfirst (hoist hidden dots)", sched="ghfirst")
-    run("ghfirst + bf16 transcendentals", sched="ghfirst",
-        gate_dtype="bf16")
-    run("poly gates (Pade tanh, no transcendental)", gate_act="poly")
-    run("poly + bf16 gate math", gate_act="poly", gate_dtype="bf16")
-    run("blockcond (UNROLL-batched input dots)", block_cond=True)
-    run("blockcond + poly", block_cond=True, gate_act="poly")
-    run("int8_hh (fixed-scale state quant)", int8_hh=True)
-    run("int8_hh + ghfirst", int8_hh=True, sched="ghfirst")
-    run("int8 everything (round-3 loser, re-check)", int8_gates=True)
+    ffs = jnp.full((3,), 10.0, jnp.float32)  # timing-only dummy bounds
+
+    run("production default (int8_hh)", int8_hh=True)
+    run("int8_hh + int8_ff (fixed-scale ff quant)", int8_hh=True,
+        int8_ff=True, ff_scales=ffs)
+    run("int8_ff only", int8_ff=True, ff_scales=ffs)
+    run("bf16 (round-3 default)")
+    if "--full" in sys.argv:
+        run("sched=ghfirst (hoist hidden dots)", sched="ghfirst")
+        run("ghfirst + bf16 transcendentals", sched="ghfirst",
+            gate_dtype="bf16")
+        run("poly gates (Pade tanh, no transcendental)", gate_act="poly")
+        run("poly + bf16 gate math", gate_act="poly", gate_dtype="bf16")
+        run("blockcond (UNROLL-batched input dots)", block_cond=True)
+        run("blockcond + poly", block_cond=True, gate_act="poly")
+        run("int8_hh + ghfirst", int8_hh=True, sched="ghfirst")
+        run("int8 everything (round-3 loser, re-check)", int8_gates=True)
 
 
 if __name__ == "__main__":

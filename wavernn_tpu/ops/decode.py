@@ -152,6 +152,72 @@ def decode_scan(
     return jnp.swapaxes(samples, 0, 1)  # (B, T)
 
 
+FF_CAL_STEPS = 4096     # calibration decode length (one compiled shape)
+FF_CAL_MARGIN = 1.3     # headroom over the observed activation |max|
+
+
+@partial(jax.jit, static_argnames=("mode", "n_classes"))
+def ff_ranges(weights: DecodeWeights, rows: jnp.ndarray, key: jax.Array,
+              mode: str, n_classes: int) -> jnp.ndarray:
+    """Calibrate the Pallas kernel's int8_ff activation bounds.
+
+    Runs a stochastic B=1 decode over ``rows`` — (N, SEG) packed
+    conditioning in the kernel's lane layout (pallas_decode.pack_stream:
+    seg0 = [mel|a1|0], seg1 = [a2|a3|a4|0]) — and returns the running
+    |max| of the three activations the kernel quantizes at a fixed scale:
+    [gru2 input (xi+h1), fc1 input (xi+h1+h2), fc2 input relu(fc1)].
+    The kernel CLIPS at the calibrated bound, so rare outliers past the
+    margin saturate instead of wrapping.
+    """
+    from wavernn_tpu.ops.pallas_decode import LANE
+
+    H = weights.gru1_w_hh.shape[0]
+    d = weights.fc1_w.shape[0] - H
+    feat = weights.I_w.shape[0] - 1 - d
+    n = rows.shape[0]
+    steps = min(n, FF_CAL_STEPS)
+    rows = rows[:steps].astype(jnp.float32)
+
+    def step(carry, inputs):
+        x, h1, h2, mx = carry
+        c, sub = inputs
+        m_t = c[None, :feat]
+        a1 = c[None, feat:feat + d]
+        s1 = c[LANE:]
+        a2, a3, a4 = (s1[None, :d], s1[None, d:2 * d], s1[None, 2 * d:3 * d])
+        inp = jnp.concatenate([x, m_t, a1], axis=-1)
+        xi = inp @ weights.I_w + weights.I_b
+        h1 = gru_cell_step(xi, h1, weights.gru1_w_ih, weights.gru1_w_hh,
+                           weights.gru1_b_ih, weights.gru1_b_hh)
+        xr = xi + h1
+        h2 = gru_cell_step(jnp.concatenate([xr, a2], axis=-1), h2,
+                           weights.gru2_w_ih, weights.gru2_w_hh,
+                           weights.gru2_b_ih, weights.gru2_b_hh)
+        xr2 = xr + h2
+        f1 = jax.nn.relu(
+            jnp.concatenate([xr2, a3], axis=-1) @ weights.fc1_w
+            + weights.fc1_b)
+        f2 = jax.nn.relu(
+            jnp.concatenate([f1, a4], axis=-1) @ weights.fc2_w
+            + weights.fc2_b)
+        logits = f2 @ weights.fc3_w + weights.fc3_b
+        if mode == "MOL":
+            sample = mol_ops.sample_from_discretized_mix_logistic(sub, logits)
+        else:
+            cls = jax.random.categorical(sub, logits, axis=-1)
+            sample = 2.0 * cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+        mx = jnp.maximum(mx, jnp.stack([
+            jnp.max(jnp.abs(xr)), jnp.max(jnp.abs(xr2)), jnp.max(f1)]))
+        return (sample[:, None], h1, h2, mx), None
+
+    x0 = jnp.zeros((1, 1), jnp.float32)
+    h0 = jnp.zeros((1, H), jnp.float32)
+    keys = jax.random.split(key, steps)
+    (_, _, _, mx), _ = jax.lax.scan(
+        step, (x0, h0, h0, jnp.zeros((3,), jnp.float32)), (rows, keys))
+    return jnp.maximum(mx * FF_CAL_MARGIN, 1e-3)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -337,7 +403,8 @@ class Generator:
                  int8_gates: bool = False, mesh=None,
                  deterministic: bool = False,
                  output_dtype: str = "float64",
-                 int8_hh: bool = None):
+                 int8_hh: bool = None,
+                 int8_ff: bool = None):
         self.cfg = cfg
         # checkpoint loaders hand back HOST numpy pytrees; pin them on
         # device ONCE — numpy weights passed to a jitted program re-upload
@@ -363,6 +430,14 @@ class Generator:
         # (docs/ROADMAP.md round-4 kernel section).
         self.int8_hh = ((not int8_gates) if int8_hh is None
                         else (int8_hh and not int8_gates))
+        # pallas only: stream the three serial feed-forward matrices
+        # (gru2 w_ih, fc1, fc2 — ~2.6 MB/step of bf16) as int8 with FIXED
+        # activation scales calibrated once per Generator on the first
+        # utterance's conditioning (ff_ranges; the kernel clips outliers at
+        # the 1.3x margin).  Opt-in until timing/quality measurements land.
+        self.int8_ff = ((int8_ff if int8_ff is not None else False)
+                        and not int8_gates)
+        self._ff_scales = None  # lazily calibrated (3,) f32 device array
         # mesh: a parallel.mesh.MeshPlan — batched decode shards the fold
         # axis over the mesh's 'data' axis (sequence-parallel generation:
         # folds of one utterance decode on different chips, SURVEY.md §5;
@@ -737,9 +812,24 @@ class Generator:
         device-faded 16-bit PCM when the Generator was built with
         ``output_dtype='int16'`` (one int16 transfer for the whole batch —
         the bandwidth-lean co-batched serving path, see bench.py).
+
+        For steady-state serving, use :meth:`submit_batch` /
+        :meth:`prefetch_batch` / :meth:`collect_batch` — dispatching batch
+        p+1 before collecting batch p hides each batch's output transfer
+        behind the next batch's decode (the single fused program otherwise
+        pays its whole result transfer unoverlapped at the end, which is
+        the dominant cost on a slow host link).
         """
+        return self.collect_batch(self.submit_batch(
+            mels_list, target=target, overlap=overlap, mu_law=mu_law,
+            seed=seed))
+
+    def prestage_batch(self, mels_list, target: int, overlap: int):
+        """Pad + upload a whole utterance batch ahead of submission (the
+        co-batched analog of :meth:`prestage`): steady-state serving stages
+        batch p+1's mels while batch p decodes, keeping the input upload
+        off the dispatch path."""
         c = self.cfg
-        mu_law = mu_law if c.mode == "RAW" else False
 
         # pad every utterance to ONE bucketed frame length so the whole
         # batch upsamples in a single dispatch (same single-dispatch
@@ -773,18 +863,45 @@ class Generator:
             fold_counts.append(num_folds)
             meta[0] = num_folds  # metas becomes (num_folds, wave_len)
 
+        return (jax.device_put(jnp.asarray(batch)),
+                jax.device_put(jnp.asarray([wl for _, wl in metas],
+                                           jnp.int32)),
+                metas, tuple(t_buckets), tuple(fold_counts))
+
+    def submit_batch(self, mels_list, target: int, overlap: int,
+                     mu_law: bool, seed: int = 0):
+        """Asynchronously dispatch one co-batched multi-utterance serve
+        (see :meth:`generate_batch`); returns a handle for
+        :meth:`collect_batch`.  ``mels_list`` is a list of raw mel arrays
+        or a :meth:`prestage_batch` result."""
+        c = self.cfg
+        mu_law = mu_law if c.mode == "RAW" else False
+        if not (isinstance(mels_list, tuple) and len(mels_list) == 5):
+            mels_list = self.prestage_batch(mels_list, target, overlap)
+        batch_dev, wl_dev, metas, t_buckets, fold_counts = mels_list
+
         out_dev = self._batch_pipeline(
-            self.variables, self.weights, jnp.asarray(batch),
-            jnp.asarray([wl for _, wl in metas], jnp.int32),
+            self.variables, self.weights, batch_dev, wl_dev,
             jax.random.PRNGKey(seed),
-            t_buckets=tuple(t_buckets), target=target, overlap=overlap,
-            fold_counts=tuple(fold_counts), mu_law=mu_law,
+            t_buckets=t_buckets, target=target, overlap=overlap,
+            fold_counts=fold_counts, mu_law=mu_law,
         )
+        return out_dev, metas, (target, overlap)
+
+    def prefetch_batch(self, handle) -> None:
+        """Start the device→host copy of a :meth:`submit_batch` result
+        without blocking (see :meth:`prefetch`)."""
+        handle[0].copy_to_host_async()
+
+    def collect_batch(self, handle):
+        """Resolve a :meth:`submit_batch` handle to the list of waveforms."""
+        out_dev, metas, (target, overlap) = handle
+        c = self.cfg
+        stride = target + overlap
         host_dtype = (np.int16 if self.output_dtype == "int16"
                       else np.dtype(self.output_dtype))
         flat = np.asarray(out_dev, dtype=host_dtype)  # ONE transfer for all
 
-        stride = target + overlap
         outputs, o = [], 0
         for num_folds, wave_len in metas:
             seg_len = num_folds * stride + overlap
@@ -1056,26 +1173,59 @@ class Generator:
 
     def _kernel_fold_pad(self, n: int) -> int:
         """Fold padding for the pallas kernel's conditioning width: the
-        PER-CHIP fold count is sublane-aligned (bf16 sublane = 16 rows,
-        matching the kernel's own B_pad computation) and lands on a
-        grid-tile boundary when it exceeds one kernel tile."""
+        PER-CHIP fold count follows fold_tiling (sublane-aligned, balanced
+        grid groups past one tile), so the prebuilt conditioning width
+        always matches the kernel's own B_pad computation."""
         from wavernn_tpu.ops import pallas_decode
 
-        sub = pallas_decode.SUBLANE_BF16
         shards = self.mesh.n_data if self.mesh is not None else 1
-        local = _round_up(max(-(-n // shards), sub), sub)
-        if local > pallas_decode.B_TILE:
-            local = _round_up(local, pallas_decode.B_TILE)
+        local, _, _ = pallas_decode.fold_tiling(-(-n // shards))
         return local * shards
+
+    def _cond_rows(self, mels_row, aux_row):
+        """(T, feat) + (T, 4d) fold-0 conditioning → (T, SEG) packed rows
+        in the kernel's lane layout, for int8_ff calibration."""
+        from wavernn_tpu.ops.pallas_decode import LANE
+
+        d = aux_row.shape[-1] // 4
+        feat = mels_row.shape[-1]
+        z = lambda k: jnp.zeros((mels_row.shape[0], k), jnp.float32)
+        return jnp.concatenate(
+            [mels_row, aux_row[:, :d], z(LANE - feat - d),
+             aux_row[:, d:], z(LANE - 3 * d)], axis=-1)
+
+    def _ffs(self, weights, rows):
+        """Calibrate the int8_ff activation bounds (per-MODEL scales; the
+        first utterance's conditioning is representative — rare outliers
+        saturate at the kernel's clip).  Called from inside the jitted
+        pipeline traces (``rows`` is a tracer there): the calibration scan
+        folds into the traced program and the result is NEVER cached —
+        caching a tracer on ``self`` would escape the trace.  Concrete
+        (host/device) rows calibrate once and cache."""
+        if self._ff_scales is not None:
+            return self._ff_scales
+        scales = ff_ranges(weights, jnp.asarray(rows),
+                           jax.random.PRNGKey(17), self.cfg.mode,
+                           self.cfg.n_classes)
+        if isinstance(rows, jax.core.Tracer):
+            return scales
+        self._ff_scales = jax.device_put(scales)
+        return self._ff_scales
 
     def _decode(self, weights, mels_f, aux_f, key):
         if self.backend == "pallas":
             from wavernn_tpu.ops import pallas_decode
 
+            # int8_ff stays off under a mesh (the sharded fold path is a
+            # scale-out layout, not the single-chip latency path)
+            use_ff = self.int8_ff and self.mesh is None
+            ffs = self._ffs(weights, self._cond_rows(mels_f[0], aux_f[0])) \
+                if use_ff else None
             fn = lambda w, m, a, k: pallas_decode.decode(
                 w, m, a, k,
                 mode=self.cfg.mode, n_classes=self.cfg.n_classes,
                 int8_gates=self.int8_gates, int8_hh=self.int8_hh,
+                int8_ff=use_ff, ff_scales=ffs,
                 deterministic=self.deterministic,
             )
         else:
@@ -1109,10 +1259,12 @@ class Generator:
             cond = pallas_decode.gather_cond(packed, starts, T_pad)
             return self._decode_cond(weights, cond, key, out_T)
         fm = pallas_decode.fold_major_cond(packed, starts, T_pad)
+        ffs = self._ffs(weights, packed) if self.int8_ff else None
         return pallas_decode.decode(
             weights, None, None, key, mode=self.cfg.mode,
             n_classes=self.cfg.n_classes, cond_fm=fm, out_T=out_T,
             int8_gates=self.int8_gates, int8_hh=self.int8_hh,
+            int8_ff=self.int8_ff, ff_scales=ffs,
             deterministic=self.deterministic,
         )
 
@@ -1121,10 +1273,13 @@ class Generator:
         sharded over the mesh's 'data' axis (fold axis = cond axis 1)."""
         from wavernn_tpu.ops import pallas_decode
 
+        use_ff = self.int8_ff and self.mesh is None
+        ffs = self._ffs(weights, cond[:, 0, :]) if use_ff else None
         fn = lambda w, c, k: pallas_decode.decode(
             w, None, None, k, mode=self.cfg.mode,
             n_classes=self.cfg.n_classes, cond=c, out_T=out_T,
             int8_gates=self.int8_gates, int8_hh=self.int8_hh,
+            int8_ff=use_ff, ff_scales=ffs,
             deterministic=self.deterministic,
         )
         if self.mesh is not None:

@@ -41,12 +41,39 @@ SUBLANE_BF16 = 16
 CHUNK = 128   # decode steps per conditioning DMA chunk
 UNROLL = 8    # steps per unrolled inner block (state in registers)
 SEG = 2 * LANE  # packed conditioning width per step
-B_TILE = 64   # folds decoded per grid program (bounds VMEM scratch;
-              # 64 measured 1.5x faster than 32 on v5e — more MXU rows)
+B_TILE = 128  # max folds per grid program (bounds VMEM scratch).
+              # Throughput rises with width — measured fold-samples/us on
+              # v5e (int8_hh, T=12160): 11.5 at B=48, 14.9 at 128, 17.5 at
+              # 256 as 2x128 groups (beats one 256-wide group, 16.9) — so
+              # 128 rows = the MXU-full sweet spot per grid program; wide
+              # co-batched serving rides it (generate_batch).  Widths past
+              # one tile split into BALANCED equal-width groups
+              # (fold_tiling: 160 -> 2x80, not 2x128), so mid-range fold
+              # counts never pay round-up-to-tile padding.
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def fold_tiling(B: int, b_tile: int = None):
+    """Fold-group geometry: (B_pad, n_groups, kernel_B).
+
+    One group when B fits in a tile; otherwise the rows split into
+    ceil(B / b_tile) BALANCED groups of equal sublane-aligned width —
+    e.g. 160 folds run as 2x80-row programs, not 2x128 (round-up-to-tile
+    wasted up to ~60% MXU rows for widths just past a tile boundary).
+    Idempotent: fold_tiling(B_pad) returns the same geometry, so callers
+    that pre-pad conditioning with this function always agree with
+    decode()'s own computation.
+    """
+    b_tile = B_TILE if b_tile is None else b_tile
+    if B <= b_tile:
+        return _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16), 1, \
+            _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16)
+    n_groups = -(-B // b_tile)
+    kernel_B = _round_up(-(-B // n_groups), SUBLANE_BF16)
+    return kernel_B * n_groups, n_groups, kernel_B
 
 
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -72,9 +99,9 @@ def _row_argmax(x: jnp.ndarray) -> jnp.ndarray:
 def _decode_kernel(
     # scalar prefetch
     seed_ref,             # (1,) int32 in SMEM
-    # inputs: [flat mode: starts in SMEM], cond stream, then the packed
-    # weights in _weight_order (int8_gates appends the gate-scale rows),
-    # then outputs/scratch
+    # inputs: [int8_ff: ffq quant multipliers in SMEM], cond stream, then
+    # the packed weights in _weight_order (int8 variants append their
+    # scale rows), then outputs/scratch
     *rest,
     T: int,
     mode: str,
@@ -92,12 +119,17 @@ def _decode_kernel(
     block_cond: bool = False,
     int8_hh: bool = False,
     fold_major: bool = False,
+    int8_ff: bool = False,
 ):
+    if int8_ff:
+        # (3,) f32 in SMEM: 127/S for the gru2-input / fc1-input / fc2-input
+        # activations (S = calibrated |max| bound, ops/decode.py ff_ranges)
+        ffq_ref, rest = rest[0], rest[1:]
     # cond_hbm: time-major pre-gathered (T, B, SEG), or fold-major
     # (B_total, T, SEG) built by fold_major_cond (contiguous per-fold
     # slices; the time-major gather costs ~10x HBM speed-of-light)
     cond_hbm, rest = rest[0], rest[1:]
-    names = _weight_order(int8_gates, int8_hh)
+    names = _weight_order(int8_gates, int8_hh, int8_ff)
     ws = dict(zip(names, rest))
     if fold_major:
         (out_hbm,         # f32 in HBM — (T,B) time-major or (B,T)
@@ -203,6 +235,22 @@ def _decode_kernel(
             qa, wq[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (sa * ws[scale_name][...])
+
+    def gdot_ff(a, wq, scale_name, fs_name, qi):
+        """Feed-forward gate matmul.  With int8_ff, the matrix streams as
+        int8 (per-column scales folded with the activation bound into
+        ``fs_name`` at pack time) and the activation quantizes at a FIXED
+        calibrated scale — one multiply+clip+round, none of full int8's
+        per-row max/divide chain.  Outliers beyond the calibrated bound
+        saturate (the bound carries a 1.3x margin; ops/decode.py)."""
+        if int8_ff:
+            qa = jnp.round(
+                jnp.clip(a * ffq_ref[qi], -127.0, 127.0)).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qa, wq[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * ws[fs_name][...]
+        return gdot(a, wq, scale_name)
 
     def gdot_h(h, wq, scale_name):
         """Recurrent-state gate matmul.  With int8_hh, the two big w_hh
@@ -350,19 +398,20 @@ def _decode_kernel(
             h1 = gru_gates(gi1, gh1, h1, b1, b_hh1_n)
             xr = xi + h1
 
-            gi2 = gdot(xr, w_ih2x, "w_ih2x_s") + aux_all[:, :H3]
+            gi2 = gdot_ff(xr, w_ih2x, "w_ih2x_s", "w_ih2x_fs", 0) \
+                + aux_all[:, :H3]
             if gh2 is None:
                 gh2 = gdot_h(h2, w_hh2, "w_hh2_s")
             h2 = gru_gates(gi2, gh2, h2, b2, b_hh2_n)
             xr = xr + h2
 
             f1 = jax.nn.relu(
-                gdot(xr, w_fc1x, "w_fc1x_s")
+                gdot_ff(xr, w_fc1x, "w_fc1x_s", "w_fc1x_fs", 1)
                 + aux_all[:, H3: H3 + F]
                 + b_fc1[...]
             )
             f2 = jax.nn.relu(
-                gdot(f1, w_fc2x, "w_fc2x_s")
+                gdot_ff(f1, w_fc2x, "w_fc2x_s", "w_fc2x_fs", 2)
                 + aux_all[:, H3 + F:]
                 + b_fc2[...]
             )
@@ -593,7 +642,8 @@ def pack_cond_stream(mels_up: jnp.ndarray, aux_mel: jnp.ndarray,
 
 
 def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
-                 int8_gates: bool = False, int8_hh: bool = False):
+                 int8_gates: bool = False, int8_hh: bool = False,
+                 int8_ff: bool = False, ff_scales=None):
     """Split/pad the decode weights into the kernel's aligned layout.
 
     ``int8_gates`` stores the three big GRU matrices (w_hh1, gru2's w_ih,
@@ -655,27 +705,44 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
             w_fc1x=w_fc1x_q, w_fc1x_s=w_fc1x_s,
             w_fc2x=w_fc2x_q, w_fc2x_s=w_fc2x_s,
         )
-    elif int8_hh:
-        # only the two recurrent matrices (the largest per-step streams):
-        # int8 weights + per-column scales; the state side quantizes at a
-        # FIXED scale in-kernel (h bounded in [-1,1]), so no dynamic chain
-        w_hh1_q, w_hh1_s = q8(w.gru1_w_hh)
-        w_hh2_q, w_hh2_s = q8(w.gru2_w_hh)
-        gate_entries = dict(
-            w_hh1=w_hh1_q, w_hh1_s=w_hh1_s,
-            w_hh2=w_hh2_q, w_hh2_s=w_hh2_s,
-            w_ih2x=bf(w.gru2_w_ih[:H]),
-            w_fc1x=bf(w.fc1_w[:H]),
-            w_fc2x=bf(w.fc2_w[:F]),
-        )
     else:
-        gate_entries = dict(
-            w_hh1=bf(w.gru1_w_hh),
-            w_ih2x=bf(w.gru2_w_ih[:H]),
-            w_hh2=bf(w.gru2_w_hh),
-            w_fc1x=bf(w.fc1_w[:H]),
-            w_fc2x=bf(w.fc2_w[:F]),
-        )
+        if int8_hh:
+            # the two recurrent matrices (the largest per-step streams):
+            # int8 weights + per-column scales; the state side quantizes at
+            # a FIXED scale in-kernel (h bounded in [-1,1]), no dynamic chain
+            w_hh1_q, w_hh1_s = q8(w.gru1_w_hh)
+            w_hh2_q, w_hh2_s = q8(w.gru2_w_hh)
+            gate_entries = dict(
+                w_hh1=w_hh1_q, w_hh1_s=w_hh1_s,
+                w_hh2=w_hh2_q, w_hh2_s=w_hh2_s,
+            )
+        else:
+            gate_entries = dict(
+                w_hh1=bf(w.gru1_w_hh),
+                w_hh2=bf(w.gru2_w_hh),
+            )
+        if int8_ff:
+            # the three feed-forward matrices on the serial path: int8 with
+            # per-column weight scales FUSED with the calibrated activation
+            # bound (S/127), so the kernel's rescale is one vector multiply.
+            # ff_scales is a traced (3,) f32 [S_xr, S_xr2, S_f1] — changing
+            # the calibration never recompiles.
+            assert ff_scales is not None
+            s_act = jnp.asarray(ff_scales, jnp.float32) * (1.0 / 127.0)
+            w_ih2x_q, w_ih2x_s = q8(w.gru2_w_ih[:H])
+            w_fc1x_q, w_fc1x_s = q8(w.fc1_w[:H])
+            w_fc2x_q, w_fc2x_s = q8(w.fc2_w[:F])
+            gate_entries.update(
+                w_ih2x=w_ih2x_q, w_ih2x_fs=w_ih2x_s * s_act[0],
+                w_fc1x=w_fc1x_q, w_fc1x_fs=w_fc1x_s * s_act[1],
+                w_fc2x=w_fc2x_q, w_fc2x_fs=w_fc2x_s * s_act[2],
+            )
+        else:
+            gate_entries.update(
+                w_ih2x=bf(w.gru2_w_ih[:H]),
+                w_fc1x=bf(w.fc1_w[:H]),
+                w_fc2x=bf(w.fc2_w[:F]),
+            )
 
     return dict(
         **gate_entries,
@@ -698,7 +765,8 @@ def pack_weights(w: DecodeWeights, feat: int, aux_d: int, n_out_pad: int,
     )
 
 
-def _weight_order(int8_gates: bool, int8_hh: bool = False):
+def _weight_order(int8_gates: bool, int8_hh: bool = False,
+                  int8_ff: bool = False):
     order = [
         "w_x", "w_Im", "b_I",
         "u1", "w_Im1", "w_hh1", "b1", "b_hh1_n",
@@ -710,8 +778,11 @@ def _weight_order(int8_gates: bool, int8_hh: bool = False):
     ]
     if int8_gates:
         order += ["w_hh1_s", "w_ih2x_s", "w_hh2_s", "w_fc1x_s", "w_fc2x_s"]
-    elif int8_hh:
-        order += ["w_hh1_s", "w_hh2_s"]
+    else:
+        if int8_hh:
+            order += ["w_hh1_s", "w_hh2_s"]
+        if int8_ff:
+            order += ["w_ih2x_fs", "w_fc1x_fs", "w_fc2x_fs"]
     return order
 
 
@@ -721,7 +792,7 @@ def _weight_order(int8_gates: bool, int8_hh: bool = False):
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
                      "int8_gates", "out_xpose", "mol_select", "gate_act",
                      "gate_dtype", "sched", "block_cond", "int8_hh",
-                     "b_tile"),
+                     "b_tile", "int8_ff"),
 )
 def decode(
     weights: DecodeWeights,
@@ -747,6 +818,9 @@ def decode(
     block_cond: bool = False,     # dev A/B: UNROLL-batched conditioning dots
     int8_hh: bool = False,        # int8 w_hh1/w_hh2 + FIXED-scale state quant
     cond_fm: jnp.ndarray = None,  # fold-major (B_pad, T_pad, SEG) bf16
+    int8_ff: bool = False,        # int8 w_ih2x/w_fc1x/w_fc2x + calibrated
+                                  # FIXED activation scales (ff_scales)
+    ff_scales: jnp.ndarray = None,  # traced (3,) f32 activation |max| bounds
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.decode.decode_scan: (B, T) f32 samples.
 
@@ -775,14 +849,9 @@ def decode(
         B, T, feat = mels_up.shape
         aux_d = aux.shape[-1] // 4
 
-    # fold-group tiling: ≤ b_tile folds per grid program (bounds VMEM)
-    if B <= b_tile:
-        B_pad = _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16)
-        n_groups = 1
-    else:
-        B_pad = _round_up(B, b_tile)
-        n_groups = B_pad // b_tile
-    kernel_B = B_pad // n_groups
+    # fold-group tiling: ≤ b_tile folds per grid program (bounds VMEM),
+    # balanced widths past one tile (fold_tiling docstring)
+    B_pad, n_groups, kernel_B = fold_tiling(B, b_tile)
     T_pad = _round_up(T, chunk)
     time_major_out = unroll % 8 == 0
 
@@ -801,9 +870,13 @@ def decode(
 
     n_out = weights.fc3_w.shape[1]
     n_out_pad = _round_up(n_out, LANE)
-    assert not (int8_gates and int8_hh), "int8_gates and int8_hh are exclusive"
+    assert not (int8_gates and (int8_hh or int8_ff)), (
+        "int8_gates is exclusive with int8_hh/int8_ff")
+    if int8_ff:
+        assert ff_scales is not None, "int8_ff needs calibrated ff_scales"
     packed = pack_weights(weights, feat, aux_d, n_out_pad,
-                          int8_gates=int8_gates, int8_hh=int8_hh)
+                          int8_gates=int8_gates, int8_hh=int8_hh,
+                          int8_ff=int8_ff, ff_scales=ff_scales)
 
     seed = jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
 
@@ -814,16 +887,23 @@ def decode(
         int8_gates=int8_gates, out_xpose=out_xpose, mol_select=mol_select,
         gate_act=gate_act, gate_dtype=gate_dtype, sched=sched,
         block_cond=block_cond, int8_hh=int8_hh, fold_major=flat,
+        int8_ff=int8_ff,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
-    order = _weight_order(int8_gates, int8_hh)
+    order = _weight_order(int8_gates, int8_hh, int8_ff)
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in order]
+
+    # scalar prefetch: seed, plus (int8_ff) the 127/S activation quant
+    # multipliers — traced, so recalibration never recompiles
+    prefetch = (seed,)
+    if int8_ff:
+        prefetch += (127.0 / jnp.asarray(ff_scales, jnp.float32),)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(prefetch),
             grid=(n_groups,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -849,7 +929,7 @@ def decode(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seed, cond, *[packed[k] for k in order])
+    )(*prefetch, cond, *[packed[k] for k in order])
 
     if time_major_out:
         L_pad = _round_up(kernel_B, LANE)
