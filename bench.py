@@ -1,7 +1,8 @@
 """Headline benchmark: every BASELINE.md tracked metric in ONE JSON line.
 
   {"metric": "wavernn_gen_khz_per_chip", "value": <kHz>, ...,
-   "tts_frames_per_s_b1": ..., "tts_frames_per_s_b8": ...,
+   "stream_khz": ..., "ttfc_ms": ...,
+   "tts_gate": "pass"|"fail", "tts_frames_per_s_b1": ...,
    "mcd_pallas": ..., "mcd_gate": "pass"|"fail",
    "voc_train_ms_per_step": ..., "tts_train_ms_per_step": ...}
 
@@ -10,18 +11,26 @@
   the >50x-realtime-per-chip north star (1102.5 kHz); decode runs on the
   COMMITTED TRAINED golden weights (bench_assets/, tools/train_golden.py)
   so the signal asserts are meaningful, with random-init fallback.
+  Strict clocks include per-pass input staging INSIDE the timed window
+  (round 5; both serving modes symmetric).
 * Copy-synthesis MCD QUALITY GATE — the pallas kernel vocodes the golden
-  eval mel with the trained weights; MCD must stay under the committed
-  scan-backend baseline + 30 dB (~2%), so a kernel numerics regression
-  (gate math, sampling, int8 path) fails the bench loudly instead of
-  hiding behind an unchanged speed number.
+  eval mel with the trained weights; MCD must stay inside a corridor sized
+  to the committed seed spread over the scan baseline, so a kernel
+  numerics regression (gate math, sampling, int8 path) fails the bench
+  loudly instead of hiding behind an unchanged speed number.
+* Streaming — steady-state single-stream kHz + time-to-first-chunk (int16,
+  group 32, ramped first group).
+* TTS QUALITY GATE — the committed TRAINED tiny Tacotron decodes the
+  golden eval text through the production backend; attention diagonality
+  and mel-vs-ground-truth distance gate against the committed CPU pin.
 * Tacotron mel frames/sec — B=1 (pallas kernel on TPU) and B=8 (XLA scan),
-  pipelined submit/collect-all like the vocoder strict clock.
+  pipelined submit/collect-all, median-of-reps like the vocoder clock.
 * Training throughput — vocoder step at the published config (B=32,
   seq 1375) and Tacotron step (B=16, L=100, T=600, r=2), device-pipelined
   (states chain through K steps; one scalar fetch at the end).
 
-Gate failure prints the full JSON line, then exits nonzero.
+Gate failure OR any crashed section prints the full JSON line, then exits
+nonzero.
 """
 
 import json
@@ -143,6 +152,13 @@ def bench_vocoder(out):
         total = 0
         for k in range(1, co_k + 1):
             h2 = None
+            # a real server stages batch k+1's mels WHILE batch k decodes:
+            # the staging (host padding + upload) happens INSIDE the clock,
+            # overlapped with device compute — same strictness as the
+            # pipelined clock below, which pays staging via gen.submit
+            # (ADVICE r4: the reused-handle version excluded upload bytes)
+            staged_b = gen.prestage_batch(mels, target=target,
+                                          overlap=overlap)
             if k < co_k:
                 h2 = gen.submit_batch(staged_b, target=target,
                                       overlap=overlap, mu_law=False,
@@ -157,10 +173,16 @@ def bench_vocoder(out):
 
     for p in range(passes):
         t0 = time.time()
-        handles = [gen.submit(d, batched=True, target=target,
-                              overlap=overlap, mu_law=False,
-                              seed=p * runs + s + 1)
-                   for s, d in enumerate(staged)]
+        # staging happens INSIDE the clock: a steady-state server re-pads +
+        # re-uploads every request's mel (the uploads overlap the in-order
+        # device queue of the earlier submissions) — symmetric with the
+        # co-batched steady clock above
+        handles = []
+        for s, m in enumerate(mels):
+            d = gen.prestage(m, batched=True, target=target, overlap=overlap)
+            handles.append(gen.submit(d, batched=True, target=target,
+                                      overlap=overlap, mu_law=False,
+                                      seed=p * runs + s + 1))
         for h in handles:       # overlap result transfers with device compute
             gen.prefetch(h)
         waves = [gen.collect(h) for h in handles]
@@ -211,7 +233,12 @@ def bench_vocoder(out):
 
 def bench_mcd_gate(out, cfg, variables, backend):
     """Quality gate: trained-weights copy-synthesis MCD through the pallas
-    kernel (scan off-TPU) vs the committed scan baseline + 30 dB."""
+    kernel (scan off-TPU) vs the committed scan baseline plus a corridor
+    sized to the MEASURED seed spread (round 4's +30 dB corridor was ~23x
+    the noise — a 10-25 dB kernel numerics bug would have sailed through;
+    VERDICT r4 weak #1).  The spread is committed by tools/train_golden.py
+    alongside the baseline; the gate sits at baseline + max(4*spread, 3 dB)
+    (legacy metas without a spread key fall back to +6 dB)."""
     meta_path = ASSETS / "golden_meta.json"
     if out["weights"] != "golden_trained" or not meta_path.exists():
         out["mcd_gate"] = "skipped (no golden assets)"
@@ -229,7 +256,9 @@ def bench_mcd_gate(out, cfg, variables, backend):
         gen, mel, batched=True, target=11_000, overlap=550, mu_law=False,
         seed=s)[0]) for s in range(3)]
     mcd = float(np.mean(scores))
-    threshold = float(meta["mcd_scan_mean"]) + 30.0
+    spread = meta.get("mcd_scan_spread")
+    corridor = max(4.0 * spread, 3.0) if spread is not None else 6.0
+    threshold = float(meta["mcd_scan_mean"]) + corridor
     out["mcd_pallas"] = round(mcd, 2)
     out["mcd_threshold"] = round(threshold, 2)
     out["mcd_scan_committed"] = meta["mcd_scan_mean"]
@@ -237,8 +266,87 @@ def bench_mcd_gate(out, cfg, variables, backend):
     out["mcd_gate"] = "pass" if mcd < threshold else "fail"
 
 
+def bench_stream(out, cfg, variables, backend):
+    """Streaming serving: steady-state single-stream rate + time-to-first-
+    chunk, int16 output, production group width with a ramped first group
+    (driver-visible so a regression in the streaming path is loud —
+    VERDICT r4 weak #4; same median-of-N policy as the headline)."""
+    from wavernn_tpu.ops.decode import Generator
+
+    gen = Generator(cfg, variables, backend=backend, fold_bucket=16,
+                    output_dtype="int16")
+    T_mel = 1920
+    rng = np.random.default_rng(7)
+    mel = rng.uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
+    kw = dict(target=11_000, overlap=550, mu_law=False, group=32,
+              first_group=4)
+    for chunk in gen.stream(mel, seed=0, **kw):
+        pass  # compile + warm every group shape
+    reps = int(os.environ.get("BENCH_STREAM_PASSES", "5"))
+    ttfcs, rates = [], []
+    for p in range(reps):
+        t0 = time.time()
+        first, total = None, 0
+        for chunk in gen.stream(mel, seed=p + 1, **kw):
+            if first is None:
+                first = time.time() - t0
+            total += len(chunk)
+        dt = time.time() - t0
+        assert total == (T_mel - 1) * cfg.hop_length
+        ttfcs.append(first * 1e3)
+        rates.append(total / dt / 1e3)
+    out["stream_khz"] = round(float(np.median(rates)), 1)
+    out["ttfc_ms"] = round(float(np.median(ttfcs)), 1)
+    out["stream_config"] = "group32/first4/int16"
+
+
+def bench_tts_gate(out):
+    """TTS quality gate on the COMMITTED trained tiny Tacotron: decode the
+    golden eval text with the production backend (pallas on TPU) and gate
+    attention diagonality + mel distance to ground truth against the
+    committed CPU/XLA pin (VERDICT r4 missing #1 / weak #2 — before round
+    5 no driver artifact could see a pallas-TTS numerics regression).
+    Also reports the pallas-vs-xla mel delta measured in-session."""
+    import jax
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from train_golden import load_taco_golden, taco_eval_decode
+
+    golden = REPO / "tests" / "golden"
+    meta = json.loads((golden / "tiny_tacotron_meta.json").read_text())
+    pinned = meta["pinned_gates_cpu_xla"]
+    from wavernn_tpu.models.tacotron import TacotronConfig
+
+    variables = load_taco_golden(TacotronConfig(**meta["dims"]))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    backend = "pallas" if on_tpu else "xla"
+    mel_p, attn_p, gates = taco_eval_decode(backend, variables)
+    out["tts_gate_backend"] = backend
+    out["tts_attn_monotone"] = gates["attn_monotone"]
+    out["tts_attn_coverage"] = gates["attn_coverage"]
+    out["tts_mel_gt_l1"] = gates["mel_gt_l1"]
+    out["tts_mel_gt_l1_pinned"] = pinned["mel_gt_l1"]
+    ok = (gates["attn_monotone"] >= 0.85
+          and gates["attn_coverage"] >= 0.7
+          # mel distance to ground truth must stay in the pinned decode's
+          # regime; autoregressive trajectories diverge frame-by-frame
+          # between backends, so the gate is quality-anchored (distance to
+          # ground truth), not an exact cross-backend diff
+          and gates["mel_gt_l1"] < pinned["mel_gt_l1"] * 1.5 + 0.1)
+    if on_tpu:
+        mel_x, _, gates_x = taco_eval_decode("xla", variables)
+        n = min(mel_p.shape[1], mel_x.shape[1])
+        out["tts_mel_xla_l1"] = round(
+            float(np.abs(mel_p[:, :n] - mel_x[:, :n]).mean()), 4)
+        out["tts_frames_delta_vs_xla"] = int(mel_p.shape[1] - mel_x.shape[1])
+        ok = ok and gates_x["mel_gt_l1"] < pinned["mel_gt_l1"] * 1.5 + 0.1
+    out["tts_gate"] = "pass" if ok else "fail"
+
+
 def bench_tacotron(out):
-    """Tacotron mel frames/sec, pipelined strict (submit K, collect all)."""
+    """Tacotron mel frames/sec, pipelined strict (submit K, collect all);
+    MEDIAN-of-reps clock, same policy as the vocoder headline (round 4
+    reported best-of-3 here, flattering TTS vs the vocoder methodology)."""
     import jax
 
     from wavernn_tpu.infer.tacotron import TTSGenerator
@@ -258,18 +366,18 @@ def bench_tacotron(out):
         x0, m0, r, True)
     seq = list(rng.integers(1, cfg.num_chars, 60))
 
-    def timed_b1(backend, K=5, reps=3):
+    def timed_b1(backend, K=5, reps=5):
         gen = TTSGenerator(cfg, variables, steps=frames, backend=backend)
         gen(seq, r=r)  # compile + warm (untrained: runs to the step cap)
-        best = 0.0
+        rates = []
         for _ in range(reps):
             t0 = time.time()
             handles = [gen.submit(seq, r=r) for _ in range(K)]
             outs = [gen.collect(h) for h in handles]
             dt = time.time() - t0
             total = sum(o[0].shape[1] for o in outs)
-            best = max(best, total / dt)
-        return best
+            rates.append(total / dt)
+        return float(np.median(rates))
 
     out["tts_frames_per_s_b1"] = round(
         timed_b1("pallas" if on_tpu else "xla"), 1)
@@ -279,13 +387,13 @@ def bench_tacotron(out):
     gen8 = TTSGenerator(cfg, variables, steps=frames, backend="xla")
     seqs = [list(rng.integers(1, cfg.num_chars, 60)) for _ in range(8)]
     gen8.batch(seqs, r=r)  # compile + warm
-    best = 0.0
-    for _ in range(3):
+    rates = []
+    for _ in range(5):
         t0 = time.time()
         outs = gen8.batch(seqs, r=r)
         dt = time.time() - t0
-        best = max(best, sum(m.shape[1] for m, _, _ in outs) / dt)
-    out["tts_frames_per_s_b8"] = round(best, 1)
+        rates.append(sum(m.shape[1] for m, _, _ in outs) / dt)
+    out["tts_frames_per_s_b8"] = round(float(np.median(rates)), 1)
 
 
 def bench_train(out):
@@ -365,6 +473,8 @@ def main():
     extras = (
         [] if lite else
         [("mcd", lambda: bench_mcd_gate(out, cfg, variables, backend)),
+         ("stream", lambda: bench_stream(out, cfg, variables, backend)),
+         ("tts_gate", lambda: bench_tts_gate(out)),
          ("tts", lambda: bench_tacotron(out)),
          ("train", lambda: bench_train(out))]
     )
@@ -375,7 +485,11 @@ def main():
             out[f"{name}_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(out))
-    if out.get("mcd_gate") == "fail":
+    # A crashed section is a RED bench, not a silently missing key (VERDICT
+    # r4 weak #5): the headline JSON above still prints, but the exit code
+    # tells the driver something broke.
+    errors = [k for k in out if k.endswith("_error")]
+    if errors or out.get("mcd_gate") == "fail" or out.get("tts_gate") == "fail":
         sys.exit(1)
 
 

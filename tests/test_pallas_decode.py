@@ -265,36 +265,69 @@ def test_fold_major_cond_matches_gather_interpret():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
-def test_ffs_calibration_never_caches_a_tracer():
-    """Generator._ffs is reached from INSIDE the jitted pipeline traces
-    (decode.py full_pipeline/batch_pipeline): with traced rows it must
-    fold the calibration into the program and must NOT cache the traced
-    result on self — a cached tracer escapes the trace and poisons every
-    later decode.  Concrete rows calibrate once and cache."""
+def test_ffs_calibration_is_eager_and_cached():
+    """int8_ff calibration runs ONCE, eagerly, on CONCRETE conditioning.
+    Before round 5 the calibration was reached only from inside the jitted
+    pipeline traces, so the 4096-step B=1 scan was baked into the compiled
+    program and re-executed on EVERY generate call (ADVICE r4); now
+    :meth:`Generator._ensure_ff_scales` populates a device-array cache
+    from a prestaged mel before the pipeline is entered, and the scales
+    flow in as a program ARGUMENT."""
     from wavernn_tpu.ops.decode import Generator
 
     cfg = small_cfg("MOL")
     model = WaveRNN(cfg)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
                    jnp.zeros((1, 5, 80)), True)
-    gen = Generator(cfg, v, backend="scan", int8_ff=True)
+    gen = Generator(cfg, v, backend="pallas", int8_ff=True)
 
-    rng = np.random.default_rng(3)
-    rows = jnp.asarray(rng.uniform(0, 1, (64, 256)), jnp.float32)
-
-    @jax.jit
-    def traced(w_rows):
-        return gen._ffs(gen.weights, w_rows)
-
-    ffs_traced = np.asarray(traced(rows))
-    assert gen._ff_scales is None, "traced calibration must not cache"
-    assert ffs_traced.shape == (3,) and (ffs_traced > 0).all()
-
-    ffs = gen._ffs(gen.weights, rows)
+    mel = np.random.default_rng(3).uniform(0, 1, (80, 12)).astype(np.float32)
+    staged = gen.prestage(mel, batched=True, target=550, overlap=275)
+    ffs = gen._ensure_ff_scales(staged.mels_dev)
     assert gen._ff_scales is not None
-    np.testing.assert_allclose(np.asarray(ffs), ffs_traced, rtol=1e-5)
-    # second concrete call returns the cache (same object)
-    assert gen._ffs(gen.weights, rows) is ffs
+    arr = np.asarray(ffs)
+    assert arr.shape == (3,) and (arr > 0).all()
+    # second call returns the cache (same object, no recalibration)
+    assert gen._ensure_ff_scales(staged.mels_dev) is ffs
+    # the streaming front-end reuses the same cache
+    assert gen._calibrate_ff(jnp.zeros((8, 256))) is ffs
+    # a scan-backend / int8_ff-off generator calibrates nothing
+    gen2 = Generator(cfg, v, backend="scan", int8_ff=True)
+    assert gen2._ensure_ff_scales(staged.mels_dev) is None
+
+
+def test_prestaged_geometry_mismatch_raises():
+    """Submitting a prestaged handle with a different target/overlap than
+    it was staged for must raise (stale fold geometry, ADVICE r4), and the
+    typed handle can't be confused with a caller's raw tuple of arrays."""
+    import pytest
+
+    from wavernn_tpu.ops.decode import Generator, Prestaged, PrestagedBatch
+
+    cfg = small_cfg("RAW")
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                   jnp.zeros((1, 5, 80)), True)
+    gen = Generator(cfg, v, backend="scan", frame_bucket=8, fold_bucket=4)
+    mel = np.random.default_rng(0).uniform(0, 1, (80, 8)).astype(np.float32)
+
+    staged = gen.prestage(mel, batched=True, target=550, overlap=275)
+    assert isinstance(staged, Prestaged)
+    with pytest.raises(ValueError, match="re-prestage"):
+        gen.submit(staged, batched=True, target=1100, overlap=275,
+                   mu_law=True)
+    with pytest.raises(ValueError, match="re-prestage"):
+        gen.submit(staged, batched=False, target=550, overlap=275,
+                   mu_law=True)
+
+    staged_b = gen.prestage_batch([mel, mel], target=550, overlap=275)
+    assert isinstance(staged_b, PrestagedBatch)
+    with pytest.raises(ValueError, match="re-prestage"):
+        gen.submit_batch(staged_b, target=550, overlap=137, mu_law=True)
+    # a plain LIST of exactly five mels is a batch of mels, not a handle
+    waves = gen.generate_batch([mel] * 5, target=550, overlap=275,
+                               mu_law=True)
+    assert len(waves) == 5 and all(len(w) == 7 * 275 for w in waves)
 
 
 def test_fold_tiling_geometry():

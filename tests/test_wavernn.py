@@ -132,6 +132,34 @@ def test_streaming_generation_chunks():
     assert abs(wav[-1]) < 1e-6  # tail fade applied to the last chunk
 
 
+def test_streaming_ramped_first_group_parity():
+    """A ramped (small) first group changes only WHEN audio becomes final,
+    never WHAT audio: stream(first_group=k) must equal its own one-shot
+    oracle exactly, its first chunk must be smaller than the unramped
+    first chunk, and fold_spans must tile the folds exactly once."""
+    from wavernn_tpu.ops.decode import Generator, fold_spans
+
+    assert fold_spans(10, 4) == [(0, 4), (4, 8), (8, 10)]
+    assert fold_spans(10, 4, first_group=1) == [(0, 1), (1, 5), (5, 9),
+                                                (9, 10)]
+    assert fold_spans(3, 4, first_group=4) == [(0, 3)]  # no ramp if >= group
+    assert fold_spans(1, 4, first_group=2) == [(0, 1)]
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    rng = np.random.default_rng(4)
+    mel = rng.uniform(0, 1, (cfg.feat_dims, 90)).astype(np.float32)
+    gen = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    fold_bucket=4)
+    kw = dict(target=2750, overlap=550, mu_law=True, group=3)
+
+    ramped = list(gen.stream(mel, first_group=1, **kw))
+    plain = list(gen.stream(mel, **kw))
+    assert len(ramped[0]) < len(plain[0])  # first chunk arrives earlier
+    oracle = gen.stream_oneshot(mel, first_group=1, **kw)
+    np.testing.assert_allclose(np.concatenate(ramped), oracle, atol=1e-6)
+
+
 def test_int16_output_matches_float_path():
     """output_dtype='int16' (device-side tail fade + PCM quantization) must
     equal quantizing the float64 path's waveform, to 1 LSB."""

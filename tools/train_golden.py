@@ -13,6 +13,21 @@ self-trained golden artifacts on a synthetic harmonic corpus instead:
       tests/test_golden.py replays the decode and asserts the waveform, so
       any drift in load/upsample/decode/crossfade numerics fails loudly.
 
+  --which taco  (TPU ~2 min or CPU ~15 min to train; pin runs on CPU)
+      Train a tiny Tacotron to diagonal attention on a note-language
+      corpus (each character a pure tone — the examples/e2e_tts.py recipe)
+      and commit
+      * tests/golden/tiny_tacotron.msgpack    — trained weights blob
+      * tests/golden/tiny_tacotron_mel.npy    — CPU-pinned free-run decode
+      * tests/golden/tiny_tacotron_attn.npy   — its attention matrix
+      * tests/golden/tiny_tacotron_gt_mel.npy — ground-truth eval mel
+      * tests/golden/tiny_tacotron_meta.json  — config + measured gates
+      tests/test_golden.py replays the decode (attention monotonicity +
+      pinned mel) and bench.py decodes it with BOTH TTS backends to gate
+      the pallas kernel's numerics every round (the role the reference's
+      pretrained Tacotron zip plays, ref: quick_start.py:12-21,
+      README.md:88; attention criterion ref: train_tacotron.py:163-166).
+
   --which full  (TPU, ~3 min)
       Train the FULL-SIZE MOL config (the published flagship) 3000 steps to
       overfit a 90 s harmonic signal (the tools/kernel_quality.py recipe)
@@ -139,6 +154,217 @@ def run_tiny():
                       "wav_std": round(float(np.std(wav)), 5)}))
 
 
+# --- tiny Tacotron golden -------------------------------------------------
+
+# Same dims as the proven examples/e2e_tts.py recipe (attention aligns on
+# the note corpus with this capacity; smaller decoders were measured to
+# collapse).  num_chars = the full symbol table so the real text frontend
+# drives training and decode.
+TACO_DIMS = dict(
+    embed_dims=128, num_chars=148, encoder_dims=64, decoder_dims=128,
+    n_mels=80, fft_bins=80, postnet_dims=64, encoder_K=8, lstm_dims=256,
+    postnet_K=4, num_highways=2,
+)
+TACO_EVAL_TEXT = "abcdeabcde"
+NOTE_SECONDS = 0.125
+TAIL_SECONDS = 0.25
+CLEANERS = ["english_cleaners"]
+
+
+def _taco_corpus_texts():
+    rng = np.random.default_rng(7)
+    return ([TACO_EVAL_TEXT, "ebcadebcad", "dcbaedcbae"]
+            + ["".join(rng.choice(list("abcde"), int(n)))
+               for n in rng.integers(6, 12, 540)])
+
+
+def _taco_tones(texts):
+    """symbol id → tone frequency, spaced 28% apart (e2e_tts recipe)."""
+    from wavernn_tpu.text import text_to_sequence
+
+    used = sorted({sid for t in texts
+                   for sid in text_to_sequence(t, CLEANERS)})
+    return {sid: 261.6 * (1.28 ** k) for k, sid in enumerate(used)}
+
+
+def _taco_wav(seq, tones, sr):
+    n = int(NOTE_SECONDS * sr)
+    t = np.arange(n) / sr
+    env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / 300.0)
+    tail = np.zeros(int(TAIL_SECONDS * sr), np.float32)
+    return np.concatenate(
+        [0.5 * env * np.sin(2 * np.pi * tones[sid] * t) for sid in seq]
+        + [tail]).astype(np.float32)
+
+
+def run_taco(steps1: int, steps2: int):
+    """Train the tiny Tacotron golden (any platform; TPU is fast), commit
+    the checkpoint, then CPU-pin the free-running decode via a subprocess
+    (decode numerics are pinned on CPU f32, like the tiny WaveRNN golden)."""
+    import subprocess
+
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import hp, default_hparams_path
+    from wavernn_tpu.dsp import audio
+    from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig
+    from wavernn_tpu.text import text_to_sequence
+    from wavernn_tpu.training.state import make_optimizer, new_train_state
+    from wavernn_tpu.training.tacotron import make_tts_train_step
+    from wavernn_tpu.utils.checkpoints import save_pytree
+
+    hp.configure(str(default_hparams_path()))
+    sr = hp.sample_rate
+    texts = _taco_corpus_texts()
+    tones = _taco_tones(texts)
+    seqs = [text_to_sequence(t, CLEANERS) for t in texts]
+
+    # precompute padded (chars, mel) arrays: texts bucket to one L, mels pad
+    # to one global r-friendly T (multiple of 14 covers r=7 and r=2), so the
+    # whole curriculum compiles two programs
+    L = _round_to(max(len(s) for s in seqs), 16)
+    mels = []
+    for seq in seqs:
+        m = audio.melspectrogram(_taco_wav(seq, tones, sr)).astype(np.float32)
+        mels.append(m.T)  # (T, 80) in [0, 1]
+    T_pad = _round_to(max(m.shape[0] for m in mels) + 1, 14)
+    chars = np.zeros((len(seqs), L), np.int32)
+    mel_b = np.zeros((len(seqs), T_pad, 80), np.float32)
+    for i, (seq, m) in enumerate(zip(seqs, mels)):
+        chars[i, :len(seq)] = seq
+        mel_b[i, :m.shape[0]] = m
+    mel_b = mel_b * 8.0 - 4.0  # dataset scaling; padding = -4 (silence)
+
+    cfg = TacotronConfig(**TACO_DIMS)
+    model = Tacotron(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(chars[:2]), jnp.asarray(mel_b[:2]), 7, True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(0)
+    B = 8
+    t0 = time.time()
+    total = 0
+    for r, lr, steps in [(7, 1e-3, steps1), (2, 3e-4, steps2)]:
+        opt = make_optimizer(lr, 1.0)  # ref clips tacotron grads at 1.0
+        state = new_train_state(params, batch_stats, opt)
+        tstep = make_tts_train_step(model, opt, r=r, donate=True)
+        for i in range(steps):
+            idx = rng.integers(0, len(seqs), B)
+            state, loss, _, attn, _ = tstep(
+                state, jnp.asarray(chars[idx]), jnp.asarray(mel_b[idx]),
+                jax.random.PRNGKey(total))
+            total += 1
+            if total % 500 == 0:
+                path = np.asarray(attn[0]).argmax(axis=1)
+                mono = float((np.diff(path) >= 0).mean())
+                print(f"step {total} r={r} loss={float(loss):.4f} "
+                      f"attn_monotone={mono:.2f}", file=sys.stderr)
+        params, batch_stats = state.params, state.batch_stats
+
+    golden = REPO / "tests" / "golden"
+    save_pytree({"params": jax.device_get(params),
+                 "batch_stats": jax.device_get(batch_stats),
+                 "step": np.asarray(total)},
+                golden / "tiny_tacotron.msgpack")
+    gt_mel = audio.melspectrogram(
+        _taco_wav(text_to_sequence(TACO_EVAL_TEXT, CLEANERS), tones, sr))
+    np.save(golden / "tiny_tacotron_gt_mel.npy", gt_mel.astype(np.float32))
+    meta = {"which": "taco", "dims": TACO_DIMS, "eval_text": TACO_EVAL_TEXT,
+            "train_steps": total, "final_loss": round(float(loss), 4),
+            "train_seconds": round(time.time() - t0, 1), "r": 2}
+    (golden / "tiny_tacotron_meta.json").write_text(json.dumps(meta, indent=1))
+    print(json.dumps(meta))
+
+    # CPU-pin the decode in a fresh process (platform selection is
+    # process-global; training may have run on TPU)
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "train_golden.py"),
+         "--which", "taco-pin"], env=env)
+    if proc.returncode != 0:
+        raise RuntimeError("taco-pin failed — golden NOT committed cleanly")
+
+
+def _round_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def taco_eval_decode(backend: str, variables=None):
+    """Decode the golden eval text with the committed tiny Tacotron; returns
+    (mel (80,T), attn (T/2, L), gates dict).  Shared by the pin step, the
+    CPU regression test, and bench.py's TTS quality gate."""
+    from wavernn_tpu.config import hp, default_hparams_path
+    from wavernn_tpu.infer.tacotron import TTSGenerator
+    from wavernn_tpu.models.tacotron import TacotronConfig
+    from wavernn_tpu.text import text_to_sequence
+
+    if not hp.is_configured():
+        hp.configure(str(default_hparams_path()))
+    golden = REPO / "tests" / "golden"
+    meta = json.loads((golden / "tiny_tacotron_meta.json").read_text())
+    cfg = TacotronConfig(**meta["dims"])
+    if variables is None:
+        variables = load_taco_golden(cfg)
+    gen = TTSGenerator(cfg, variables, steps=400, backend=backend)
+    seq = text_to_sequence(meta["eval_text"], CLEANERS)
+    mel, _, attn = gen(seq, r=meta["r"])
+
+    path = attn.argmax(axis=1)
+    steps = np.diff(path)
+    monotone = float((steps >= 0).mean()) if len(steps) else 0.0
+    coverage = float(len(np.unique(path))) / len(seq)
+    gt = np.load(golden / "tiny_tacotron_gt_mel.npy") * 8.0 - 4.0
+    n = min(mel.shape[1], gt.shape[1])
+    l1 = float(np.abs(mel[:, :n] - gt[:, :n]).mean())
+    gates = {"attn_monotone": round(monotone, 3),
+             "attn_coverage": round(coverage, 3),
+             "mel_gt_l1": round(l1, 4),
+             "frames": int(mel.shape[1]), "gt_frames": int(gt.shape[1])}
+    return mel, attn, gates
+
+
+def load_taco_golden(cfg):
+    """Load the committed tiny-Tacotron golden weights (host pytree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.models.tacotron import Tacotron
+    from wavernn_tpu.utils.checkpoints import load_pytree
+
+    model = Tacotron(cfg)
+    template = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 2, cfg.n_mels)), 2, True)
+    blob = load_pytree(
+        {"params": template["params"],
+         "batch_stats": template["batch_stats"], "step": np.asarray(0)},
+        REPO / "tests" / "golden" / "tiny_tacotron.msgpack")
+    return {"params": blob["params"], "batch_stats": blob["batch_stats"]}
+
+
+def run_taco_pin():
+    """CPU f32 pinning pass: decode the eval text with the XLA backend,
+    assert the attention-diagonality gates, and commit the pinned mel +
+    attention + measured gates."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    golden = REPO / "tests" / "golden"
+    mel, attn, gates = taco_eval_decode("xla")
+    assert gates["attn_monotone"] >= 0.9, gates
+    assert gates["attn_coverage"] >= 0.7, gates
+    assert 0.5 < gates["frames"] / gates["gt_frames"] < 1.5, gates
+    np.save(golden / "tiny_tacotron_mel.npy", mel.astype(np.float32))
+    np.save(golden / "tiny_tacotron_attn.npy", attn.astype(np.float32))
+    meta = json.loads((golden / "tiny_tacotron_meta.json").read_text())
+    meta["pinned_gates_cpu_xla"] = gates
+    (golden / "tiny_tacotron_meta.json").write_text(json.dumps(meta, indent=1))
+    print(json.dumps({"which": "taco-pin", **gates}))
+
+
 def run_full(steps: int):
     import jax
 
@@ -186,12 +412,21 @@ def run_full(steps: int):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--which", choices=["tiny", "full"], required=True)
+    parser.add_argument("--which", choices=["tiny", "full", "taco",
+                                            "taco-pin"], required=True)
     parser.add_argument("--steps", type=int, default=3000,
                         help="training steps for --which full")
+    parser.add_argument("--taco_steps1", type=int, default=2000,
+                        help="r=7 session steps for --which taco")
+    parser.add_argument("--taco_steps2", type=int, default=4000,
+                        help="r=2 session steps for --which taco")
     args = parser.parse_args()
     if args.which == "tiny":
         run_tiny()
+    elif args.which == "taco":
+        run_taco(args.taco_steps1, args.taco_steps2)
+    elif args.which == "taco-pin":
+        run_taco_pin()
     else:
         run_full(args.steps)
 

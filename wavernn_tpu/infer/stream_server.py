@@ -232,6 +232,7 @@ class StreamServer:
                 o += g1 - g0
             rows = self._group_fn(
                 self.gen.weights, self._buffer, jnp.asarray(starts), key,
+                self.gen._ff_scales,
                 fold_T=self.fold_T, T_pad=self.T_pad,
             )
         else:

@@ -30,8 +30,13 @@ class TTSGenerator:
 
     def __init__(self, cfg: TacotronConfig, variables, steps: int = 2000,
                  text_bucket: int = 32, backend: str = "auto",
-                 int8_lstm: bool = False):
+                 int8_lstm: bool = False, mesh=None):
         self.cfg = cfg
+        # mesh: a parallel.mesh.MeshPlan — batch() shards the utterance
+        # axis over the mesh's 'data' axis (multi-chip batched TTS serving;
+        # the analog of the reference's DataParallel engagement,
+        # ref: train_tacotron.py:131-132).  None = single device.
+        self.mesh = mesh
         # pin checkpoint-loaded (host numpy) weights on device once —
         # numpy inputs to a jitted program re-upload per dispatch (see
         # ops/decode.Generator)
@@ -187,17 +192,31 @@ class TTSGenerator:
         padded batches the same way (ref: utils/dataset.py:166-190).
 
         Always uses the XLA scan path (throughput-bound; the pallas kernel
-        targets the B=1 latency case).
+        targets the B=1 latency case).  With a mesh, the utterance axis is
+        padded to a multiple of the 'data' axis and sharded over it — the
+        SAME jitted program, with XLA partitioning the batch across chips.
 
         Returns a list of (mel, linear, attn) triples, each trimmed at its
         own stop frame."""
         L = max(len(s) for s in seqs)
         L = ((L + self.text_bucket - 1) // self.text_bucket) * self.text_bucket
-        x = np.zeros((len(seqs), L), dtype=np.int32)
+        B = len(seqs)
+        B_pad = B
+        if self.mesh is not None:
+            n_data = self.mesh.n_data
+            B_pad = ((B + n_data - 1) // n_data) * n_data
+        x = np.zeros((B_pad, L), dtype=np.int32)
         for i, s in enumerate(seqs):
             x[i, : len(s)] = s
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            xd = jax.device_put(
+                x, NamedSharding(self.mesh.mesh, P("data", None)))
+        else:
+            xd = jnp.asarray(x)
         mel, linear, attn, n_valid = jax.device_get(self._run(
-            self.variables, jnp.asarray(x), r, self._bucket_steps(None, r)
+            self.variables, xd, r, self._bucket_steps(None, r)
         ))
         out = []
         for i, s in enumerate(seqs):

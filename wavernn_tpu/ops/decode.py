@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -220,6 +221,52 @@ def ff_ranges(weights: DecodeWeights, rows: jnp.ndarray, key: jax.Array,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def fold_spans(needed: int, group: int, first_group: int = None):
+    """Fold-group spans for streaming decode: ``first_group`` (when set and
+    smaller than ``group``) carves a small leading group so the first audio
+    chunk arrives after decoding only a few folds — time-to-first-chunk
+    scales with the first group's width, steady-state rate with ``group``.
+    Shared by :meth:`Generator.stream` and :meth:`Generator.stream_oneshot`
+    so the parity oracle covers the ramped schedule too."""
+    spans, g0 = [], 0
+    if first_group and first_group < min(group, needed):
+        spans.append((0, first_group))
+        g0 = first_group
+    while g0 < needed:
+        g1 = min(g0 + group, needed)
+        spans.append((g0, g1))
+        g0 = g1
+    return spans
+
+
+class Prestaged(NamedTuple):
+    """A :meth:`Generator.prestage` result: one utterance's padded mel
+    pinned on device plus the fold geometry it was staged for.  A typed
+    handle (not a bare tuple) so :meth:`Generator.submit` can't misparse a
+    caller's raw arrays as a staged handle, and so submitting with a
+    DIFFERENT target/overlap than the staging geometry raises instead of
+    silently decoding with stale fold counts (ADVICE r4)."""
+
+    mels_dev: object
+    num_folds: int
+    wave_len: int
+    batched: bool
+    target: int
+    overlap: int
+
+
+class PrestagedBatch(NamedTuple):
+    """A :meth:`Generator.prestage_batch` result (see :class:`Prestaged`)."""
+
+    batch_dev: object
+    wave_lens_dev: object
+    metas: list
+    t_buckets: tuple
+    fold_counts: tuple
+    target: int
+    overlap: int
 
 
 @dataclass
@@ -560,7 +607,7 @@ class Generator:
         @partial(jax.jit, static_argnames=("mu_law", "batched", "target",
                                            "overlap", "num_folds_padded"))
         def full_pipeline(variables, weights, mels_padded, num_folds,
-                          wave_len, key, *,
+                          wave_len, key, ffs, *,
                           mu_law: bool, batched: bool, target: int,
                           overlap: int, num_folds_padded: int):
             """The whole mel→waveform graph as ONE program: upsample convs,
@@ -592,7 +639,7 @@ class Generator:
                         packed, ((0, need - packed.shape[0]), (0, 0)))
                 samples = self._decode_cond_fm(
                     weights, packed, jnp.arange(nfp) * stride, key,
-                    fold_T, T_pad)
+                    fold_T, T_pad, ffs=ffs)
                 return maybe_pcm16(finalize(
                     samples, num_folds, mu_law=mu_law, batched=batched,
                     overlap=overlap, n_classes=cfg.n_classes,
@@ -609,7 +656,7 @@ class Generator:
                     aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
             else:
                 mels_f, aux_f = mels_up, aux
-            samples = self._decode(weights, mels_f, aux_f, key)
+            samples = self._decode(weights, mels_f, aux_f, key, ffs=ffs)
             return maybe_pcm16(finalize(
                 samples, num_folds, mu_law=mu_law, batched=batched,
                 overlap=overlap, n_classes=cfg.n_classes,
@@ -619,7 +666,8 @@ class Generator:
 
         @partial(jax.jit, static_argnames=("t_buckets", "target", "overlap",
                                            "fold_counts", "mu_law"))
-        def batch_pipeline(variables, weights, batch_mels, wave_lens, key, *,
+        def batch_pipeline(variables, weights, batch_mels, wave_lens, key,
+                           ffs, *,
                            t_buckets: tuple, target: int, overlap: int,
                            fold_counts: tuple, mu_law: bool):
             """The whole multi-utterance serve as ONE program: batched
@@ -677,7 +725,8 @@ class Generator:
                 starts += [0] * (total_pad - total)
                 return finalize_each(self._decode_cond_fm(
                     weights, jnp.concatenate(streams, axis=0),
-                    jnp.asarray(starts, jnp.int32), key, fold_T, T_pad))
+                    jnp.asarray(starts, jnp.int32), key, fold_T, T_pad,
+                    ffs=ffs))
             # scan backend: classic folded arrays
             mels_up_b, aux_b = self.model.apply(
                 variables, batch_mels, False, method=WaveRNN.upsample_only
@@ -695,7 +744,8 @@ class Generator:
             if pad_folds:
                 mels_f = jnp.pad(mels_f, ((0, pad_folds), (0, 0), (0, 0)))
                 aux_f = jnp.pad(aux_f, ((0, pad_folds), (0, 0), (0, 0)))
-            return finalize_each(self._decode(weights, mels_f, aux_f, key))
+            return finalize_each(self._decode(weights, mels_f, aux_f, key,
+                                              ffs=ffs))
 
         self._batch_pipeline = batch_pipeline
 
@@ -742,7 +792,8 @@ class Generator:
             num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
         else:
             num_folds = 1
-        return jax.device_put(mels), num_folds, wave_len
+        return Prestaged(jax.device_put(mels), num_folds, wave_len,
+                         batched, target, overlap)
 
     def submit(
         self,
@@ -762,14 +813,22 @@ class Generator:
         c = self.cfg
         mu_law = mu_law if c.mode == "RAW" else False
 
-        if not (isinstance(mels, tuple) and len(mels) == 3):
+        if not isinstance(mels, Prestaged):
             mels = self.prestage(mels, batched, target, overlap)
-        mels_dev, num_folds, wave_len = mels
+        elif (mels.batched, mels.target, mels.overlap) != (batched, target,
+                                                          overlap):
+            raise ValueError(
+                f"prestaged handle was built for batched={mels.batched}, "
+                f"target={mels.target}, overlap={mels.overlap}; submit got "
+                f"batched={batched}, target={target}, overlap={overlap} — "
+                "the fold geometry would be stale; re-prestage")
+        mels_dev, num_folds, wave_len = mels[:3]
+        ffs = self._ensure_ff_scales(mels_dev)
 
         out_dev = self._full_pipeline(
             self.variables, self.weights, mels_dev,
             jnp.asarray(num_folds, jnp.int32),
-            jnp.asarray(wave_len, jnp.int32), jax.random.PRNGKey(seed),
+            jnp.asarray(wave_len, jnp.int32), jax.random.PRNGKey(seed), ffs,
             mu_law=mu_law, batched=batched, target=target, overlap=overlap,
             num_folds_padded=self._pad_folds(num_folds),
         )
@@ -863,10 +922,10 @@ class Generator:
             fold_counts.append(num_folds)
             meta[0] = num_folds  # metas becomes (num_folds, wave_len)
 
-        return (jax.device_put(jnp.asarray(batch)),
-                jax.device_put(jnp.asarray([wl for _, wl in metas],
-                                           jnp.int32)),
-                metas, tuple(t_buckets), tuple(fold_counts))
+        return PrestagedBatch(
+            jax.device_put(jnp.asarray(batch)),
+            jax.device_put(jnp.asarray([wl for _, wl in metas], jnp.int32)),
+            metas, tuple(t_buckets), tuple(fold_counts), target, overlap)
 
     def submit_batch(self, mels_list, target: int, overlap: int,
                      mu_law: bool, seed: int = 0):
@@ -876,13 +935,20 @@ class Generator:
         or a :meth:`prestage_batch` result."""
         c = self.cfg
         mu_law = mu_law if c.mode == "RAW" else False
-        if not (isinstance(mels_list, tuple) and len(mels_list) == 5):
+        if not isinstance(mels_list, PrestagedBatch):
             mels_list = self.prestage_batch(mels_list, target, overlap)
-        batch_dev, wl_dev, metas, t_buckets, fold_counts = mels_list
+        elif (mels_list.target, mels_list.overlap) != (target, overlap):
+            raise ValueError(
+                f"prestaged batch was built for target={mels_list.target}, "
+                f"overlap={mels_list.overlap}; submit_batch got "
+                f"target={target}, overlap={overlap} — the fold geometry "
+                "would be stale; re-prestage")
+        batch_dev, wl_dev, metas, t_buckets, fold_counts = mels_list[:5]
+        ffs = self._ensure_ff_scales(batch_dev[:1])
 
         out_dev = self._batch_pipeline(
             self.variables, self.weights, batch_dev, wl_dev,
-            jax.random.PRNGKey(seed),
+            jax.random.PRNGKey(seed), ffs,
             t_buckets=t_buckets, target=target, overlap=overlap,
             fold_counts=fold_counts, mu_law=mu_law,
         )
@@ -966,6 +1032,7 @@ class Generator:
                 )
             packed = self._get_pack_stream()(
                 self.variables, jnp.asarray(mels), pad_to=pad_to)
+            self._calibrate_ff(packed)  # eager one-time int8_ff calibration
             return StreamSession(
                 needed_folds=needed_folds, stride=stride, fold_T=fold_T,
                 wave_len=wave_len, packed=packed, T_pad=T_pad,
@@ -1008,7 +1075,7 @@ class Generator:
                 starts[:n] = np.arange(g0, g1, dtype=np.int32) * stride
                 dev = group_fn(
                     self.weights, sess.packed, jnp.asarray(starts),
-                    jax.random.PRNGKey(seed + g0),
+                    jax.random.PRNGKey(seed + g0), self._ff_scales,
                     fold_T=sess.fold_T, T_pad=sess.T_pad,
                 )
                 return dev, n
@@ -1032,7 +1099,8 @@ class Generator:
             sess.wave_len
 
     def stream(self, mels, target: int, overlap: int, mu_law: bool,
-               group: int = 16, seed: int = 0, lookahead: int = 2):
+               group: int = 16, seed: int = 0, lookahead: int = 2,
+               first_group: int = None):
         """Streaming synthesis: yield finalized audio chunks as fold groups
         finish decoding (BASELINE config 5: streaming TTS serving).  Chunks
         are float64, or device-faded 16-bit PCM when the Generator was built
@@ -1040,7 +1108,12 @@ class Generator:
 
         Latency model: the first chunk arrives after ONE group of folds
         decodes (~group*target samples of audio) instead of after the whole
-        utterance; each subsequent group extends the stream.
+        utterance; each subsequent group extends the stream.  A RAMPED
+        first group (``first_group``, e.g. 4) shrinks only the leading
+        launch: time-to-first-chunk scales with the small group's decode
+        while the steady-state rate keeps ``group``'s width (the decode is
+        serial in time, so the first chunk's latency is first_group-
+        independent of the utterance length).
 
         Pipelined, device-resident dispatch: up to ``lookahead`` group
         decodes stay queued on the device ahead of the group being
@@ -1068,8 +1141,7 @@ class Generator:
             mels, target, overlap, seed)
         fin = _IncrementalUnfold(self, needed_folds, stride, wave_len,
                                  overlap, mu_law)
-        spans = [(g0, min(g0 + group, needed_folds))
-                 for g0 in range(0, needed_folds, group)]
+        spans = fold_spans(needed_folds, group, first_group)
         lookahead = max(1, lookahead)
         decodes = deque()    # in-flight decode launches
         finals = deque()     # in-flight finalize tokens
@@ -1088,7 +1160,8 @@ class Generator:
                     yield chunk
 
     def stream_oneshot(self, mels, target: int, overlap: int, mu_law: bool,
-                       group: int = 16, seed: int = 0) -> np.ndarray:
+                       group: int = 16, seed: int = 0,
+                       first_group: int = None) -> np.ndarray:
         """Decode the SAME per-group programs :meth:`stream` uses (same fold
         gather, same kernel, same per-group PRNG keys), but finalize every
         fold in ONE crossfade-unfold.  This is the parity oracle that
@@ -1102,8 +1175,9 @@ class Generator:
         launch, drain, needed_folds, _, wave_len = self._stream_setup(
             mels, target, overlap, seed)
         rows = np.concatenate(
-            [drain(launch(g0, min(g0 + group, needed_folds)))
-             for g0 in range(0, needed_folds, group)], axis=0)
+            [drain(launch(g0, g1))
+             for g0, g1 in fold_spans(needed_folds, group, first_group)],
+            axis=0)
         n_pad = self._pad_folds(rows.shape[0])
         window = np.pad(rows, ((0, n_pad - rows.shape[0]), (0, 0)))
         wav = np.asarray(self._finalize(
@@ -1153,10 +1227,10 @@ class Generator:
             from wavernn_tpu.ops import pallas_decode
 
             @partial(jax.jit, static_argnames=("fold_T", "T_pad"))
-            def stream_group(weights, packed, starts, key, *,
+            def stream_group(weights, packed, starts, key, ffs=None, *,
                              fold_T: int, T_pad: int):
                 return self._decode_cond_fm(weights, packed, starts, key,
-                                            fold_T, T_pad)
+                                            fold_T, T_pad, ffs=ffs)
 
             self._stream_group_fn = stream_group
         return self._stream_group_fn
@@ -1182,50 +1256,51 @@ class Generator:
         local, _, _ = pallas_decode.fold_tiling(-(-n // shards))
         return local * shards
 
-    def _cond_rows(self, mels_row, aux_row):
-        """(T, feat) + (T, 4d) fold-0 conditioning → (T, SEG) packed rows
-        in the kernel's lane layout, for int8_ff calibration."""
-        from wavernn_tpu.ops.pallas_decode import LANE
+    def _ensure_ff_scales(self, mels_dev):
+        """EAGER int8_ff calibration (per-MODEL scales; the first
+        utterance's conditioning is representative — rare outliers saturate
+        at the kernel's clip).  Runs ONCE per Generator with CONCRETE
+        conditioning — before round 5, calibration was reached only from
+        inside the jitted pipeline traces, so the 4096-step B=1 scan was
+        baked into the compiled program and re-executed on EVERY generate
+        call (ADVICE r4).  Returns the cached (3,) f32 device array, or
+        None when int8_ff doesn't apply (off / mesh / non-pallas).
 
-        d = aux_row.shape[-1] // 4
-        feat = mels_row.shape[-1]
-        z = lambda k: jnp.zeros((mels_row.shape[0], k), jnp.float32)
-        return jnp.concatenate(
-            [mels_row, aux_row[:, :d], z(LANE - feat - d),
-             aux_row[:, d:], z(LANE - 3 * d)], axis=-1)
-
-    def _ffs(self, weights, rows):
-        """Calibrate the int8_ff activation bounds (per-MODEL scales; the
-        first utterance's conditioning is representative — rare outliers
-        saturate at the kernel's clip).  Called from inside the jitted
-        pipeline traces (``rows`` is a tracer there): the calibration scan
-        folds into the traced program and the result is NEVER cached —
-        caching a tracer on ``self`` would escape the trace.  Concrete
-        (host/device) rows calibrate once and cache."""
-        if self._ff_scales is not None:
-            return self._ff_scales
-        scales = ff_ranges(weights, jnp.asarray(rows),
-                           jax.random.PRNGKey(17), self.cfg.mode,
-                           self.cfg.n_classes)
-        if isinstance(rows, jax.core.Tracer):
-            return scales
-        self._ff_scales = jax.device_put(scales)
+        ``mels_dev``: a (1, T, feat) padded device mel (a :meth:`prestage`
+        upload or the first row of a prestaged batch)."""
+        if not self.int8_ff or self.backend != "pallas" or self.mesh is not None:
+            return None
+        if self._ff_scales is None:
+            packed = self._get_pack_stream()(
+                self.variables, mels_dev, pad_to=0)
+            self._calibrate_ff(packed)
         return self._ff_scales
 
-    def _decode(self, weights, mels_f, aux_f, key):
+    def _calibrate_ff(self, packed):
+        """Core of :meth:`_ensure_ff_scales` over an already-packed
+        CONCRETE conditioning stream (the streaming session front-end
+        computes one anyway)."""
+        if not self.int8_ff or self.backend != "pallas" or self.mesh is not None:
+            return None
+        if self._ff_scales is None:
+            self._ff_scales = jax.device_put(ff_ranges(
+                self.weights, packed[:FF_CAL_STEPS],
+                jax.random.PRNGKey(17), self.cfg.mode, self.cfg.n_classes))
+        return self._ff_scales
+
+    def _decode(self, weights, mels_f, aux_f, key, ffs=None):
         if self.backend == "pallas":
             from wavernn_tpu.ops import pallas_decode
 
             # int8_ff stays off under a mesh (the sharded fold path is a
             # scale-out layout, not the single-chip latency path)
-            use_ff = self.int8_ff and self.mesh is None
-            ffs = self._ffs(weights, self._cond_rows(mels_f[0], aux_f[0])) \
-                if use_ff else None
+            use_ff = (self.int8_ff and self.mesh is None
+                      and ffs is not None)
             fn = lambda w, m, a, k: pallas_decode.decode(
                 w, m, a, k,
                 mode=self.cfg.mode, n_classes=self.cfg.n_classes,
                 int8_gates=self.int8_gates, int8_hh=self.int8_hh,
-                int8_ff=use_ff, ff_scales=ffs,
+                int8_ff=use_ff, ff_scales=ffs if use_ff else None,
                 deterministic=self.deterministic,
             )
         else:
@@ -1246,7 +1321,7 @@ class Generator:
         return fn(weights, mels_f, aux_f, key)
 
     def _decode_cond_fm(self, weights, packed, starts, key, out_T: int,
-                        T_pad: int):
+                        T_pad: int, ffs=None):
         """Pallas decode straight off the FLAT packed conditioning stream:
         fold windows become fold-major contiguous slices
         (pallas_decode.fold_major_cond) and the kernel transposes each
@@ -1259,27 +1334,26 @@ class Generator:
             cond = pallas_decode.gather_cond(packed, starts, T_pad)
             return self._decode_cond(weights, cond, key, out_T)
         fm = pallas_decode.fold_major_cond(packed, starts, T_pad)
-        ffs = self._ffs(weights, packed) if self.int8_ff else None
+        use_ff = self.int8_ff and ffs is not None
         return pallas_decode.decode(
             weights, None, None, key, mode=self.cfg.mode,
             n_classes=self.cfg.n_classes, cond_fm=fm, out_T=out_T,
             int8_gates=self.int8_gates, int8_hh=self.int8_hh,
-            int8_ff=self.int8_ff, ff_scales=ffs,
+            int8_ff=use_ff, ff_scales=ffs if use_ff else None,
             deterministic=self.deterministic,
         )
 
-    def _decode_cond(self, weights, cond, key, out_T: int):
+    def _decode_cond(self, weights, cond, key, out_T: int, ffs=None):
         """Pallas decode over a prebuilt conditioning stream, optionally
         sharded over the mesh's 'data' axis (fold axis = cond axis 1)."""
         from wavernn_tpu.ops import pallas_decode
 
-        use_ff = self.int8_ff and self.mesh is None
-        ffs = self._ffs(weights, cond[:, 0, :]) if use_ff else None
+        use_ff = (self.int8_ff and self.mesh is None and ffs is not None)
         fn = lambda w, c, k: pallas_decode.decode(
             w, None, None, k, mode=self.cfg.mode,
             n_classes=self.cfg.n_classes, cond=c, out_T=out_T,
             int8_gates=self.int8_gates, int8_hh=self.int8_hh,
-            int8_ff=use_ff, ff_scales=ffs,
+            int8_ff=use_ff, ff_scales=ffs if use_ff else None,
             deterministic=self.deterministic,
         )
         if self.mesh is not None:

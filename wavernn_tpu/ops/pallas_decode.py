@@ -68,6 +68,10 @@ def fold_tiling(B: int, b_tile: int = None):
     decode()'s own computation.
     """
     b_tile = B_TILE if b_tile is None else b_tile
+    assert b_tile % SUBLANE_BF16 == 0, (
+        f"b_tile={b_tile} must be sublane-aligned ({SUBLANE_BF16}) — a "
+        "non-aligned tile would round kernel_B past it, silently exceeding "
+        "the VMEM bound b_tile exists to enforce")
     if B <= b_tile:
         return _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16), 1, \
             _round_up(max(B, SUBLANE_BF16), SUBLANE_BF16)
