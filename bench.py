@@ -326,8 +326,10 @@ def bench_tts_gate(out):
     out["tts_attn_coverage"] = gates["attn_coverage"]
     out["tts_mel_gt_l1"] = gates["mel_gt_l1"]
     out["tts_mel_gt_l1_pinned"] = pinned["mel_gt_l1"]
+    out["tts_tempo"] = gates["tempo"]
     ok = (gates["attn_monotone"] >= 0.85
           and gates["attn_coverage"] >= 0.7
+          and 0.6 < gates["tempo"] < 1.5
           # mel distance to ground truth must stay in the pinned decode's
           # regime; autoregressive trajectories diverge frame-by-frame
           # between backends, so the gate is quality-anchored (distance to

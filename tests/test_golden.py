@@ -55,6 +55,35 @@ def test_generator_short_mel_edge(hp_default):
     assert np.isfinite(wav).all()
 
 
+def test_trained_tacotron_golden_decode_pinned(hp_default):
+    """TTS golden-decode regression: load the committed TRAINED tiny
+    Tacotron and replay the free-running eval decode on CPU/XLA; the mel
+    must match the pinned capture and the attention-quality gates must
+    hold.  This pins the text→encode→LSA-decode→postnet stack — the role
+    the reference's pretrained Tacotron zip plays (ref: quick_start.py:
+    12-21, README.md:88; attention criterion ref: train_tacotron.py:
+    163-166).  bench.py replays the same decode through the pallas TTS
+    kernel on TPU, gated against the meta pinned here."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    from train_golden import taco_eval_decode
+
+    meta = json.loads((GOLDEN / "tiny_tacotron_meta.json").read_text())
+    pinned = meta["pinned_gates_cpu_xla"]
+    mel, attn, gates = taco_eval_decode("xla")
+
+    assert gates["attn_monotone"] >= 0.9, gates
+    assert gates["attn_coverage"] >= 0.7, gates
+    assert 0.6 < gates["tempo"] < 1.5, gates
+    want = np.load(GOLDEN / "tiny_tacotron_mel.npy")
+    assert mel.shape == want.shape, (mel.shape, want.shape)
+    # f32 decode pinned on CPU; tolerance covers library-version jitter
+    np.testing.assert_allclose(mel, want, atol=1e-3)
+    assert abs(gates["mel_gt_l1"] - pinned["mel_gt_l1"]) < 0.05
+
+
 def test_trained_golden_checkpoint_decode_pinned(hp_default):
     """Golden-audio regression: load the committed TRAINED tiny checkpoint
     and replay a deterministic batched decode; the waveform must match the

@@ -93,6 +93,39 @@ def test_generation_runs_and_trims():
     assert attn.shape[1] == 11
 
 
+def test_generation_stop_patience_delays_exit():
+    """stop_patience=K must stop the decode exactly K-1 groups after the
+    patience=1 stop point when every group is "quiet" (forced here by a
+    stop_threshold above any possible output; the min-length guard
+    t*r > 10 sets the first eligible stop step)."""
+    from wavernn_tpu.infer.tacotron import TTSGenerator
+
+    cfg = tiny_cfg()
+    model, variables = init_model(cfg)
+    import dataclasses
+
+    # every frame counts as silent -> quiet counter == t+1 at step t
+    cfg_quiet = dataclasses.replace(cfg, stop_threshold=1e9)
+    seq = list(np.random.default_rng(0).integers(1, 140, 11))
+    lens = {}
+    for patience in (1, 3):
+        gen = TTSGenerator(cfg_quiet, variables, steps=60,
+                           stop_patience=patience)
+        mel, _, _ = gen(seq, r=5)
+        lens[patience] = mel.shape[1]
+    # patience=1: first stop at t=3 (15 > 10) -> 4 groups; patience=3 also
+    # satisfied at t=3 (quiet=4 >= 3) -> identical; use a patience larger
+    # than the min-length step to see the delay
+    gen = TTSGenerator(cfg_quiet, variables, steps=60, stop_patience=8)
+    mel, _, _ = gen(seq, r=5)
+    assert lens[1] == 4 * 5
+    assert lens[3] == 4 * 5
+    assert mel.shape[1] == 8 * 5  # quiet >= 8 first at t=7
+
+    with pytest.raises(ValueError):
+        TTSGenerator(cfg_quiet, variables, steps=60, stop_patience=0)
+
+
 def test_generation_batch_multiple_texts():
     from wavernn_tpu.infer.tacotron import TTSGenerator
 

@@ -10,6 +10,13 @@ per-step optimizations surfaced by the reworked kernel-breakdown numbers
   * combinations of the winners
 
 Run on TPU:  python tools/step_opt_probe.py [B] [T]
+
+``--ab`` instead runs the int8_ff adoption measurement: STRICTLY
+INTERLEAVED A/B passes (A = production int8_hh, B = int8_hh + int8_ff) at
+fold widths 16/48/128, so relay drift hits both arms equally — the
+decision protocol that re-adjudicated int8_gates in round 3 and adopted
+int8_hh in round 4 (quality half: tools/kernel_quality.py / bench MCD
+gate with int8_ff on).
 """
 
 import sys
@@ -23,10 +30,60 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def ab_int8_ff(T: int = 12160):
+    """Interleaved A/B: int8_hh (production) vs int8_hh+int8_ff, per fold
+    width.  Passes alternate A,B,A,B,... so slow relay drift cancels;
+    report the per-arm MEDIAN us/step over 7 passes of K=6 dispatches."""
+    from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
+    from wavernn_tpu.ops import pallas_decode
+    from wavernn_tpu.ops.decode import extract_decode_weights
+
+    cfg = WaveRNNConfig()
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                   jnp.zeros((1, 5, 80)), True)
+    w = extract_decode_weights(v["params"])
+    ffs = jnp.full((3,), 10.0, jnp.float32)
+    K, PASSES = 6, 7
+
+    for B in (16, 48, 128):
+        B_pad = pallas_decode._round_up(max(B, 16), 16)
+        cond = jax.block_until_ready(jax.jit(
+            lambda k: jax.random.uniform(
+                k, (pallas_decode._round_up(T, 256), B_pad,
+                    pallas_decode.SEG), jnp.bfloat16, -1, 1)
+        )(jax.random.PRNGKey(0)))
+
+        def fn(s, use_ff):
+            kw = dict(int8_hh=True)
+            if use_ff:
+                kw.update(int8_ff=True, ff_scales=ffs)
+            return pallas_decode.decode(
+                w, None, None, jax.random.PRNGKey(s), mode="MOL",
+                n_classes=30, cond=cond, out_T=T, **kw)
+
+        np.asarray(fn(0, False)); np.asarray(fn(0, True))  # compile both
+
+        times = {False: [], True: []}
+        for p in range(PASSES):
+            for use_ff in (False, True):       # strict interleave
+                t0 = time.time()
+                outs = [fn(p * 2 * K + k + 1, use_ff) for k in range(K)]
+                np.asarray(outs[-1])
+                times[use_ff].append((time.time() - t0) / (K * T) * 1e6)
+        a = float(np.median(times[False]))
+        b = float(np.median(times[True]))
+        print(f"B={B:4d}  int8_hh {a:5.2f} us/step   "
+              f"+int8_ff {b:5.2f} us/step   delta {100*(b-a)/a:+5.1f}%")
+
+
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     B = int(pos[0]) if len(pos) > 0 else 48
     T = int(pos[1]) if len(pos) > 1 else 12160
+    if "--ab" in sys.argv:
+        ab_int8_ff(T)
+        return
 
     from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
     from wavernn_tpu.ops import pallas_decode

@@ -64,6 +64,70 @@ def harmonic_signal(sr: int, seconds: float) -> np.ndarray:
     return (0.45 * y / np.abs(y).max()).astype(np.float32)
 
 
+# vowel formant targets (F1, F2, F3) Hz — rough adult-male vowel space
+_VOWELS = [(730, 1090, 2440),   # /a/
+           (270, 2290, 3010),   # /i/
+           (300, 870, 2240),    # /u/
+           (530, 1840, 2480),   # /e/
+           (570, 840, 2410)]    # /o/
+
+
+def speech_signal(sr: int, seconds: float, seed: int = 3) -> np.ndarray:
+    """Speech-shaped golden corpus: a glottal pulse train with a wandering
+    f0 contour, filtered through per-"phone" formant resonator cascades,
+    interleaved with unvoiced fricative-like noise segments and short
+    pauses.  The spectral envelopes (formant peaks, voiced/unvoiced
+    contrast, silences) resemble real vocoding targets, so the MCD gate's
+    sensitivity tracks real vocoder error instead of a 4-harmonic stack
+    (VERDICT r4 directive #9)."""
+    from scipy.signal import lfilter
+
+    rng = np.random.default_rng(seed)
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    # phrase-level f0: declining contour + slow wander, 90-160 Hz
+    f0 = 120.0 * 2 ** (0.25 * np.sin(2 * np.pi * 0.37 * t)
+                       + 0.12 * np.sin(2 * np.pi * 1.7 * t + 1.0))
+    phase_frac = np.cumsum(f0) / sr % 1.0
+    # sawtooth source ≈ glottal pulse train (rich, -6 dB/oct harmonics)
+    source = (2.0 * phase_frac - 1.0).astype(np.float64)
+
+    out = np.zeros(n)
+    pos = 0
+    while pos < n:
+        seg_len = int(rng.uniform(0.12, 0.3) * sr)
+        seg_len = min(seg_len, n - pos)
+        kind = rng.uniform()
+        if kind < 0.12:                      # pause
+            pass
+        elif kind < 0.30:                    # unvoiced fricative: shaped noise
+            noise = rng.standard_normal(seg_len)
+            fc = rng.uniform(2500.0, 6000.0)
+            r = 0.92
+            w = 2 * np.pi * fc / sr
+            seg = lfilter([1.0, -1.0], [1.0, -2 * r * np.cos(w), r * r],
+                          noise)
+            peak = np.abs(seg).max()
+            out[pos: pos + seg_len] = 0.25 * seg / max(peak, 1e-9)
+        else:                                # voiced vowel: formant cascade
+            f1, f2, f3 = _VOWELS[rng.integers(0, len(_VOWELS))]
+            seg = source[pos: pos + seg_len].copy()
+            for fc, bw in ((f1, 80.0), (f2, 110.0), (f3, 160.0)):
+                r = np.exp(-np.pi * bw / sr)
+                w = 2 * np.pi * fc / sr
+                seg = lfilter([1.0 - r], [1.0, -2 * r * np.cos(w), r * r],
+                              seg)
+            peak = np.abs(seg).max()
+            out[pos: pos + seg_len] = seg / max(peak, 1e-9)
+        pos += seg_len
+    # 5 ms segment-boundary smoothing kills filter-edge clicks
+    k = int(0.005 * sr)
+    win = np.hanning(2 * k + 1)
+    win /= win.sum()
+    out = np.convolve(out, win, mode="same")
+    return (0.45 * out / np.abs(out).max()).astype(np.float32)
+
+
 def train(cfg, mel, y, labels, steps, batch_size, seq_len, lr, clip, pad,
           hop, log_every=200):
     import jax
@@ -172,10 +236,14 @@ CLEANERS = ["english_cleaners"]
 
 
 def _taco_corpus_texts():
+    """~1100 random melodies: the corpus must be LARGE relative to the
+    decoder's capacity or it memorizes sequences and free-running tempo
+    degrades (the examples/e2e_tts.py recipe's measured failure mode —
+    the first golden trained on 540 melodies free-ran at ~2x tempo)."""
     rng = np.random.default_rng(7)
     return ([TACO_EVAL_TEXT, "ebcadebcad", "dcbaedcbae"]
             + ["".join(rng.choice(list("abcde"), int(n)))
-               for n in rng.integers(6, 12, 540)])
+               for n in rng.integers(8, 13, 1100)])
 
 
 def _taco_tones(texts):
@@ -292,10 +360,25 @@ def _round_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+STOP_PATIENCE = 6  # survive brief note-boundary energy dips in free run
+
+
+def _trim_tail(m, thresh=-3.4):
+    """Drop trailing all-silent frames of a (n_mels, T) mel."""
+    active = np.nonzero((m > thresh).any(axis=0))[0]
+    return m[:, : active[-1] + 1] if len(active) else m
+
+
 def taco_eval_decode(backend: str, variables=None):
     """Decode the golden eval text with the committed tiny Tacotron; returns
     (mel (80,T), attn (T/2, L), gates dict).  Shared by the pin step, the
-    CPU regression test, and bench.py's TTS quality gate."""
+    CPU regression test, and bench.py's TTS quality gate.
+
+    ``mel_gt_l1`` is TEMPO-NORMALIZED: both mels are tail-trimmed and the
+    generated one linearly resampled to the ground-truth length before the
+    L1 — a free-running AR decoder renders correct spectra at a slightly
+    wrong tempo, and a frame-aligned L1 would conflate the two; the tempo
+    error itself is gated separately (``tempo`` ratio)."""
     from wavernn_tpu.config import hp, default_hparams_path
     from wavernn_tpu.infer.tacotron import TTSGenerator
     from wavernn_tpu.models.tacotron import TacotronConfig
@@ -308,7 +391,8 @@ def taco_eval_decode(backend: str, variables=None):
     cfg = TacotronConfig(**meta["dims"])
     if variables is None:
         variables = load_taco_golden(cfg)
-    gen = TTSGenerator(cfg, variables, steps=400, backend=backend)
+    gen = TTSGenerator(cfg, variables, steps=400, backend=backend,
+                       stop_patience=STOP_PATIENCE)
     seq = text_to_sequence(meta["eval_text"], CLEANERS)
     mel, _, attn = gen(seq, r=meta["r"])
 
@@ -317,11 +401,17 @@ def taco_eval_decode(backend: str, variables=None):
     monotone = float((steps >= 0).mean()) if len(steps) else 0.0
     coverage = float(len(np.unique(path))) / len(seq)
     gt = np.load(golden / "tiny_tacotron_gt_mel.npy") * 8.0 - 4.0
-    n = min(mel.shape[1], gt.shape[1])
-    l1 = float(np.abs(mel[:, :n] - gt[:, :n]).mean())
+    gen_t, gt_t = _trim_tail(mel), _trim_tail(gt)
+    tempo = gen_t.shape[1] / gt_t.shape[1]
+    idx = np.linspace(0.0, gen_t.shape[1] - 1.0, gt_t.shape[1])
+    src = np.arange(gen_t.shape[1], dtype=np.float64)
+    warped = np.stack([np.interp(idx, src, gen_t[b])
+                       for b in range(gen_t.shape[0])])
+    l1 = float(np.abs(warped - gt_t).mean())
     gates = {"attn_monotone": round(monotone, 3),
              "attn_coverage": round(coverage, 3),
              "mel_gt_l1": round(l1, 4),
+             "tempo": round(float(tempo), 3),
              "frames": int(mel.shape[1]), "gt_frames": int(gt.shape[1])}
     return mel, attn, gates
 
@@ -356,7 +446,8 @@ def run_taco_pin():
     mel, attn, gates = taco_eval_decode("xla")
     assert gates["attn_monotone"] >= 0.9, gates
     assert gates["attn_coverage"] >= 0.7, gates
-    assert 0.5 < gates["frames"] / gates["gt_frames"] < 1.5, gates
+    assert 0.6 < gates["tempo"] < 1.5, gates
+    assert gates["mel_gt_l1"] < 0.6, gates
     np.save(golden / "tiny_tacotron_mel.npy", mel.astype(np.float32))
     np.save(golden / "tiny_tacotron_attn.npy", attn.astype(np.float32))
     meta = json.loads((golden / "tiny_tacotron_meta.json").read_text())
@@ -377,7 +468,9 @@ def run_full(steps: int):
 
     hp.configure(str(default_hparams_path()), voc_mode="MOL")
     cfg = WaveRNNConfig.from_hp(hp)
-    y = harmonic_signal(hp.sample_rate, 90.0)
+    # speech-shaped corpus (formant-filtered pulse train) so the MCD gate's
+    # sensitivity resembles real vocoding error, not a 4-harmonic overfit
+    y = speech_signal(hp.sample_rate, 90.0)
     mel = audio.melspectrogram(y).astype(np.float32)
 
     state, loss, secs = train(cfg, mel, y, None, steps=steps, batch_size=32,
@@ -393,19 +486,26 @@ def run_full(steps: int):
     np.save(assets / "golden_eval_mel.npy", eval_mel)
 
     v = {"params": state.params, "batch_stats": state.batch_stats}
-    meta = {"which": "full", "mode": "MOL", "train_steps": steps,
-            "final_loss": round(loss, 4), "train_seconds": round(secs, 1),
+    meta = {"which": "full", "mode": "MOL", "corpus": "speech_formant",
+            "train_steps": steps, "final_loss": round(loss, 4),
+            "train_seconds": round(secs, 1),
             "eval_frames": int(eval_mel.shape[1])}
     on_tpu = jax.devices()[0].platform == "tpu"
     backends = ("scan", "pallas") if on_tpu else ("scan",)
     for backend in backends:
         gen = Generator(cfg, v, backend=backend, fold_bucket=16)
+        # scan = the gate baseline: 6 seeds so the committed spread (the
+        # corridor unit in bench.py's MCD gate) is a measured quantity
+        n_seeds = 6 if backend == "scan" else 3
         scores = [float(copy_synthesis_mcd(
             gen, eval_mel, batched=True, target=hp.voc_target,
             overlap=hp.voc_overlap, mu_law=hp.mu_law, seed=s)[0])
-            for s in range(3)]
+            for s in range(n_seeds)]
         meta[f"mcd_{backend}_mean"] = round(float(np.mean(scores)), 4)
         meta[f"mcd_{backend}_max"] = round(float(np.max(scores)), 4)
+        if backend == "scan":
+            meta["mcd_scan_spread"] = round(
+                float(np.max(scores) - np.mean(scores)), 4)
     (assets / "golden_meta.json").write_text(json.dumps(meta, indent=1))
     print(json.dumps(meta))
 

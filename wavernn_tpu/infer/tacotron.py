@@ -30,8 +30,17 @@ class TTSGenerator:
 
     def __init__(self, cfg: TacotronConfig, variables, steps: int = 2000,
                  text_bucket: int = 32, backend: str = "auto",
-                 int8_lstm: bool = False, mesh=None):
+                 int8_lstm: bool = False, mesh=None, stop_patience: int = 1):
         self.cfg = cfg
+        # stop_patience: number of CONSECUTIVE all-silent frame groups
+        # required before the decode is declared finished.  1 = the
+        # reference's semantics (break at the first silent group,
+        # ref: models/tacotron.py:411); larger values keep the decode alive
+        # across brief in-utterance energy dips (note/phrase boundaries)
+        # and only stop on sustained trailing silence.
+        if stop_patience < 1:
+            raise ValueError("stop_patience must be >= 1")
+        self.stop_patience = int(stop_patience)
         # mesh: a parallel.mesh.MeshPlan — batch() shards the utterance
         # axis over the mesh's 'data' axis (multi-chip batched TTS serving;
         # the analog of the reference's DataParallel engagement,
@@ -62,7 +71,7 @@ class TTSGenerator:
             )
         self.backend = backend
         self._run_pallas = (
-            _make_pallas_run(cfg, self.model, int8_lstm)
+            _make_pallas_run(cfg, self.model, int8_lstm, self.stop_patience)
             if backend == "pallas" else None
         )
 
@@ -88,17 +97,20 @@ class TTSGenerator:
             carry0 = init_decoder_carry(cfg_, B, L)
             prev0 = jnp.zeros((B, cfg_.n_mels))
             done0 = jnp.zeros((B,), dtype=bool)
+            quiet0 = jnp.zeros((B,), dtype=jnp.int32)
+            patience = self.stop_patience
 
             def step(state, t):
-                carry, prev, done = state
+                carry, prev, done, quiet = state
                 carry, (mels, scores) = model.apply(
                     variables, carry, enc, enc_proj, prev, r,
                     method=Tacotron.decode_step,
                 )
                 prev = mels[:, :, -1]
-                group_done = jnp.all(mels < cfg_.stop_threshold, axis=(1, 2))
-                done = done | (group_done & (t * r > 10))
-                return (carry, prev, done), (mels, scores, done)
+                group_quiet = jnp.all(mels < cfg_.stop_threshold, axis=(1, 2))
+                quiet = jnp.where(group_quiet, quiet + 1, 0)
+                done = done | ((quiet >= patience) & (t * r > 10))
+                return (carry, prev, done, quiet), (mels, scores, done)
 
             mels_buf = jnp.zeros((n_iters, B, cfg_.n_mels, r))
             scores_buf = jnp.zeros((n_iters, B, L))
@@ -120,7 +132,7 @@ class TTSGenerator:
 
             _, _, (mels_seq, scores_seq, done_seq) = jax.lax.while_loop(
                 trip_cond, trip_body,
-                (jnp.int32(0), (carry0, prev0, done0),
+                (jnp.int32(0), (carry0, prev0, done0, quiet0),
                  (mels_buf, scores_buf, done_buf)),
             )
             # enforce the caller's step cap (buffers are chunk-padded)
@@ -230,7 +242,7 @@ class TTSGenerator:
 
 
 def _make_pallas_run(cfg: TacotronConfig, model: Tacotron,
-                     int8_lstm: bool = False):
+                     int8_lstm: bool = False, stop_patience: int = 1):
     """Jitted single-utterance decode over the fused Pallas decoder kernel
     (ops/pallas_tts.py).  Same early-exit while_loop structure as the XLA
     path; each trip launches one CHUNK-step kernel."""
@@ -266,27 +278,34 @@ def _make_pallas_run(cfg: TacotronConfig, model: Tacotron,
         done_buf = jnp.zeros((n_iters,), bool)
 
         def trip_cond(st):
-            c, _, done, _ = st
+            c, _, done, _, _ = st
             return (c < n_chunks) & ~done
 
         def trip_body(st):
-            c, state, done, (mb, sb, db) = st
+            c, state, done, quiet, (mb, sb, db) = st
             mels_c, scores_c, stop_c, state = tts_decode_chunk(
                 packed, enc_pad, encp_T, state, CHUNK, r, cfg.n_mels, L,
                 int8_lstm=int8_lstm,
             )
             ts = c * CHUNK + jnp.arange(CHUNK)
             raw = (stop_c < cfg.stop_threshold) & (ts * r > 10)
-            done_seq = done | (jnp.cumsum(raw.astype(jnp.int32)) > 0)
+            # consecutive-quiet run length, threaded across chunk boundaries
+            # (stop only after stop_patience consecutive silent groups)
+            def consec(q, r_t):
+                q = jnp.where(r_t, q + 1, 0)
+                return q, q
+            quiet, q_seq = jax.lax.scan(consec, quiet, raw)
+            hit = q_seq >= stop_patience
+            done_seq = done | (jnp.cumsum(hit.astype(jnp.int32)) > 0)
             at = c * CHUNK
             mb = jax.lax.dynamic_update_slice(mb, mels_c, (at, 0))
             sb = jax.lax.dynamic_update_slice(sb, scores_c, (at, 0))
             db = jax.lax.dynamic_update_slice(db, done_seq, (at,))
-            return c + 1, state, done_seq[-1], (mb, sb, db)
+            return c + 1, state, done_seq[-1], quiet, (mb, sb, db)
 
-        _, _, _, (mels_seq, scores_seq, done_seq) = jax.lax.while_loop(
+        _, _, _, _, (mels_seq, scores_seq, done_seq) = jax.lax.while_loop(
             trip_cond, trip_body,
-            (jnp.int32(0), state0, jnp.bool_(False),
+            (jnp.int32(0), state0, jnp.bool_(False), jnp.int32(0),
              (mels_buf, scores_buf, done_buf)),
         )
         mels_seq = mels_seq[:n_req]
