@@ -283,17 +283,47 @@ def test_ffs_calibration_is_eager_and_cached():
 
     mel = np.random.default_rng(3).uniform(0, 1, (80, 12)).astype(np.float32)
     staged = gen.prestage(mel, batched=True, target=550, overlap=275)
-    ffs = gen._ensure_ff_scales(staged.mels_dev)
+    ffs = gen._ensure_ff_scales(staged.mels_dev, 16)
     assert gen._ff_scales is not None
     arr = np.asarray(ffs)
     assert arr.shape == (3,) and (arr > 0).all()
     # second call returns the cache (same object, no recalibration)
-    assert gen._ensure_ff_scales(staged.mels_dev) is ffs
+    assert gen._ensure_ff_scales(staged.mels_dev, 16) is ffs
     # the streaming front-end reuses the same cache
     assert gen._calibrate_ff(jnp.zeros((8, 256))) is ffs
-    # a scan-backend / int8_ff-off generator calibrates nothing
+    # a scan-backend generator calibrates nothing even when forced on
     gen2 = Generator(cfg, v, backend="scan", int8_ff=True)
-    assert gen2._ensure_ff_scales(staged.mels_dev) is None
+    assert gen2._ensure_ff_scales(staged.mels_dev, 256) is None
+
+
+def test_ff_policy_width_adaptive():
+    """Default int8_ff='auto': ON only for kernel fold widths at/above the
+    measured crossover (FF_AUTO_MIN_KERNEL_B); True/False force globally;
+    never under a mesh or the scan backend.  Calibration is skipped
+    entirely for dispatches the policy rejects."""
+    from wavernn_tpu.ops.decode import FF_AUTO_MIN_KERNEL_B, Generator
+
+    cfg = small_cfg("MOL")
+    model = WaveRNN(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 275)),
+                   jnp.zeros((1, 5, 80)), True)
+    gen = Generator(cfg, v, backend="pallas")  # default: auto
+    assert gen.int8_ff == "auto"
+    assert not gen._ff_policy(16)
+    assert not gen._ff_policy(48)
+    assert gen._ff_policy(FF_AUTO_MIN_KERNEL_B)
+    assert gen._ff_policy(240)  # 2x120 balanced groups
+    # narrow dispatch in auto mode: no calibration scan at all
+    mel = np.random.default_rng(3).uniform(0, 1, (80, 12)).astype(np.float32)
+    staged = gen.prestage(mel, batched=True, target=550, overlap=275)
+    assert gen._ensure_ff_scales(staged.mels_dev, 48) is None
+    assert gen._ff_scales is None
+
+    forced = Generator(cfg, v, backend="pallas", int8_ff=True)
+    assert forced._ff_policy(16) and forced._ff_policy(128)
+    off = Generator(cfg, v, backend="pallas", int8_ff=False)
+    assert not off._ff_policy(128)
+    assert not off._ff_policy(FF_AUTO_MIN_KERNEL_B)
 
 
 def test_prestaged_geometry_mismatch_raises():

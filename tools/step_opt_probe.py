@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def ab_int8_ff(T: int = 12160):
+def ab_int8_ff(T: int = 12160, widths=(16, 48, 128)):
     """Interleaved A/B: int8_hh (production) vs int8_hh+int8_ff, per fold
     width.  Passes alternate A,B,A,B,... so slow relay drift cancels;
     report the per-arm MEDIAN us/step over 7 passes of K=6 dispatches."""
@@ -46,8 +46,8 @@ def ab_int8_ff(T: int = 12160):
     ffs = jnp.full((3,), 10.0, jnp.float32)
     K, PASSES = 6, 7
 
-    for B in (16, 48, 128):
-        B_pad = pallas_decode._round_up(max(B, 16), 16)
+    for B in widths:
+        B_pad, _, _ = pallas_decode.fold_tiling(B)
         cond = jax.block_until_ready(jax.jit(
             lambda k: jax.random.uniform(
                 k, (pallas_decode._round_up(T, 256), B_pad,
@@ -73,17 +73,25 @@ def ab_int8_ff(T: int = 12160):
                 times[use_ff].append((time.time() - t0) / (K * T) * 1e6)
         a = float(np.median(times[False]))
         b = float(np.median(times[True]))
-        print(f"B={B:4d}  int8_hh {a:5.2f} us/step   "
-              f"+int8_ff {b:5.2f} us/step   delta {100*(b-a)/a:+5.1f}%")
+        am = float(np.min(times[False]))
+        bm = float(np.min(times[True]))
+        # median cancels slow drift between arms; min sheds the relay's
+        # multi-second stall episodes — report both (a stall inside one
+        # arm's pass has flipped the median's sign between runs)
+        print(f"B={B:4d}  int8_hh {a:5.2f}/{am:5.2f} us/step   "
+              f"+int8_ff {b:5.2f}/{bm:5.2f} us/step   "
+              f"delta med {100*(b-a)/a:+5.1f}%  min {100*(bm-am)/am:+5.1f}%")
 
 
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "--ab" in sys.argv:
+        widths = tuple(int(x) for x in pos[0].split(",")) if pos \
+            else (16, 48, 128)
+        ab_int8_ff(12160 if len(pos) < 2 else int(pos[1]), widths)
+        return
     B = int(pos[0]) if len(pos) > 0 else 48
     T = int(pos[1]) if len(pos) > 1 else 12160
-    if "--ab" in sys.argv:
-        ab_int8_ff(T)
-        return
 
     from wavernn_tpu.models.wavernn import WaveRNN, WaveRNNConfig
     from wavernn_tpu.ops import pallas_decode

@@ -107,14 +107,22 @@ def main():
     for _ in gen16.stream(mel, target=target, overlap=overlap,
                           mu_law=False, group=group):
         pass
-    for tag, grp in (("int16", group), ("int16_g32", 32)):
+    for tag, grp, fg in (("int16", group, None), ("int16_g32", 32, None),
+                         ("int16_g32_ramp4", 32, 4)):
+        # ramp4 = the production bench config: a 4-fold first group cuts
+        # time-to-first-chunk (the first chunk's decode is first_group-
+        # proportional) at unchanged steady state (VERDICT r4 #6)
+        for _ in gen16.stream(mel, target=target, overlap=overlap,
+                              mu_law=False, group=grp, first_group=fg):
+            pass
         ttfc16, dts = [], []
         for p in range(3):
             t0 = time.time()
             first = None
             n16 = 0
             for ch in gen16.stream(mel, target=target, overlap=overlap,
-                                   mu_law=False, group=grp, seed=p):
+                                   mu_law=False, group=grp, seed=p,
+                                   first_group=fg):
                 if first is None:
                     first = time.time() - t0
                 n16 += len(ch)

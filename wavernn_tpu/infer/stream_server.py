@@ -230,9 +230,16 @@ class StreamServer:
                 starts[o: o + g1 - g0] = (
                     base + np.arange(g0, g1, dtype=np.int32) * s.sess.stride)
                 o += g1 - g0
+            # adaptive int8_ff: a multiplexed launch wide enough for the
+            # policy pays the one-time calibration on the first live
+            # session's conditioning rows (ops/decode.py FF_AUTO_MIN_KERNEL_B)
+            ffs = None
+            if self.gen._ff_policy(n_pad):
+                b0 = items[0][0].slot * self.slot_len
+                ffs = self.gen._calibrate_ff(self._buffer[b0:])
             rows = self._group_fn(
                 self.gen.weights, self._buffer, jnp.asarray(starts), key,
-                self.gen._ff_scales,
+                ffs,
                 fold_T=self.fold_T, T_pad=self.T_pad,
             )
         else:

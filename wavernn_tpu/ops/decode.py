@@ -155,6 +155,11 @@ def decode_scan(
 
 FF_CAL_STEPS = 4096     # calibration decode length (one compiled shape)
 FF_CAL_MARGIN = 1.3     # headroom over the observed activation |max|
+# adaptive int8_ff crossover: per-grid-program fold widths at or above this
+# measured faster with int8 feed-forward streams (-1..-3% us/step at 64/80,
+# -5..-9% at 96..128), below it a wash (48) or slower (16) — round-5
+# interleaved A/B, tools/step_opt_probe.py --ab
+FF_AUTO_MIN_KERNEL_B = 64
 
 
 @partial(jax.jit, static_argnames=("mode", "n_classes"))
@@ -481,9 +486,15 @@ class Generator:
         # (gru2 w_ih, fc1, fc2 — ~2.6 MB/step of bf16) as int8 with FIXED
         # activation scales calibrated once per Generator on the first
         # utterance's conditioning (ff_ranges; the kernel clips outliers at
-        # the 1.3x margin).  Opt-in until timing/quality measurements land.
-        self.int8_ff = ((int8_ff if int8_ff is not None else False)
-                        and not int8_gates)
+        # the 1.3x margin).  Default None = ADAPTIVE: on only for kernel
+        # fold widths >= FF_AUTO_MIN_KERNEL_B, where the byte savings beat
+        # the serial quant chain (round-5 interleaved A/B: +1..2% us/step
+        # at width 16, wash at 48, -1..-3% at 64/80, -5..-9% at 96..128;
+        # trained-weights MCD indistinguishable from bf16 —
+        # docs/ROADMAP.md round 5).  True/False force it globally.
+        self.int8_ff = ("auto" if int8_ff is None else bool(int8_ff))
+        if int8_gates:
+            self.int8_ff = False
         self._ff_scales = None  # lazily calibrated (3,) f32 device array
         # mesh: a parallel.mesh.MeshPlan — batched decode shards the fold
         # axis over the mesh's 'data' axis (sequence-parallel generation:
@@ -823,7 +834,8 @@ class Generator:
                 f"batched={batched}, target={target}, overlap={overlap} — "
                 "the fold geometry would be stale; re-prestage")
         mels_dev, num_folds, wave_len = mels[:3]
-        ffs = self._ensure_ff_scales(mels_dev)
+        ffs = self._ensure_ff_scales(
+            mels_dev, self._kernel_fold_pad(self._pad_folds(num_folds)))
 
         out_dev = self._full_pipeline(
             self.variables, self.weights, mels_dev,
@@ -961,7 +973,10 @@ class Generator:
                 f"target={target}, overlap={overlap} — the fold geometry "
                 "would be stale; re-prestage")
         batch_dev, wl_dev, metas, t_buckets, fold_counts = mels_list[:5]
-        ffs = self._ensure_ff_scales(batch_dev[:1])
+        ffs = self._ensure_ff_scales(
+            batch_dev[:1],
+            self._kernel_fold_pad(_round_up(sum(fold_counts),
+                                            self.fold_bucket)))
 
         out_dev = self._batch_pipeline(
             self.variables, self.weights, batch_dev, wl_dev,
@@ -1049,7 +1064,11 @@ class Generator:
                 )
             packed = self._get_pack_stream()(
                 self.variables, jnp.asarray(mels), pad_to=pad_to)
-            self._calibrate_ff(packed)  # eager one-time int8_ff calibration
+            if self.int8_ff is True:
+                # eager one-time calibration for the FORCED int8_ff mode;
+                # 'auto' streams calibrate lazily at the first group launch
+                # wide enough for the policy (launch_group)
+                self._calibrate_ff(packed)
             return StreamSession(
                 needed_folds=needed_folds, stride=stride, fold_T=fold_T,
                 wave_len=wave_len, packed=packed, T_pad=T_pad,
@@ -1090,9 +1109,13 @@ class Generator:
                 n_pad = self._kernel_fold_pad(n)
                 starts = np.zeros(n_pad, np.int32)
                 starts[:n] = np.arange(g0, g1, dtype=np.int32) * stride
+                # lazy calibration: only a group wide enough for the
+                # int8_ff policy pays the one-time scan
+                ffs = (self._calibrate_ff(sess.packed)
+                       if self._ff_policy(n_pad) else None)
                 dev = group_fn(
                     self.weights, sess.packed, jnp.asarray(starts),
-                    jax.random.PRNGKey(seed + g0), self._ff_scales,
+                    jax.random.PRNGKey(seed + g0), ffs,
                     fold_T=sess.fold_T, T_pad=sess.T_pad,
                 )
                 return dev, n
@@ -1273,7 +1296,23 @@ class Generator:
         local, _, _ = pallas_decode.fold_tiling(-(-n // shards))
         return local * shards
 
-    def _ensure_ff_scales(self, mels_dev):
+    def _ff_policy(self, n_folds: int) -> bool:
+        """Should int8_ff apply to a pallas dispatch over ``n_folds`` fold
+        rows?  ``int8_ff=True/False`` force it; the default 'auto' enables
+        it only when the per-grid-program kernel width (fold_tiling) is at
+        or above the measured crossover FF_AUTO_MIN_KERNEL_B.  Fold widths
+        are static shapes, so this is a trace-time decision."""
+        if self.backend != "pallas" or self.mesh is not None:
+            return False
+        if self.int8_ff is True:
+            return True
+        if self.int8_ff != "auto":
+            return False
+        from wavernn_tpu.ops.pallas_decode import fold_tiling
+
+        return fold_tiling(max(int(n_folds), 1))[2] >= FF_AUTO_MIN_KERNEL_B
+
+    def _ensure_ff_scales(self, mels_dev, n_folds: int):
         """EAGER int8_ff calibration (per-MODEL scales; the first
         utterance's conditioning is representative — rare outliers saturate
         at the kernel's clip).  Runs ONCE per Generator with CONCRETE
@@ -1281,11 +1320,12 @@ class Generator:
         inside the jitted pipeline traces, so the 4096-step B=1 scan was
         baked into the compiled program and re-executed on EVERY generate
         call (ADVICE r4).  Returns the cached (3,) f32 device array, or
-        None when int8_ff doesn't apply (off / mesh / non-pallas).
+        None when int8_ff doesn't apply to a dispatch of ``n_folds`` fold
+        rows (policy off / narrow width / mesh / non-pallas).
 
         ``mels_dev``: a (1, T, feat) padded device mel (a :meth:`prestage`
         upload or the first row of a prestaged batch)."""
-        if not self.int8_ff or self.backend != "pallas" or self.mesh is not None:
+        if not self._ff_policy(n_folds):
             return None
         if self._ff_scales is None:
             packed = self._get_pack_stream()(
@@ -1296,7 +1336,7 @@ class Generator:
     def _calibrate_ff(self, packed):
         """Core of :meth:`_ensure_ff_scales` over an already-packed
         CONCRETE conditioning stream (the streaming session front-end
-        computes one anyway)."""
+        computes one anyway).  Callers gate on :meth:`_ff_policy`."""
         if not self.int8_ff or self.backend != "pallas" or self.mesh is not None:
             return None
         if self._ff_scales is None:
@@ -1309,10 +1349,9 @@ class Generator:
         if self.backend == "pallas":
             from wavernn_tpu.ops import pallas_decode
 
-            # int8_ff stays off under a mesh (the sharded fold path is a
-            # scale-out layout, not the single-chip latency path)
-            use_ff = (self.int8_ff and self.mesh is None
-                      and ffs is not None)
+            # int8_ff per the width policy (off under a mesh — the sharded
+            # fold path is a scale-out layout, not a single-chip one)
+            use_ff = ffs is not None and self._ff_policy(mels_f.shape[0])
             fn = lambda w, m, a, k: pallas_decode.decode(
                 w, m, a, k,
                 mode=self.cfg.mode, n_classes=self.cfg.n_classes,
@@ -1351,7 +1390,7 @@ class Generator:
             cond = pallas_decode.gather_cond(packed, starts, T_pad)
             return self._decode_cond(weights, cond, key, out_T)
         fm = pallas_decode.fold_major_cond(packed, starts, T_pad)
-        use_ff = self.int8_ff and ffs is not None
+        use_ff = ffs is not None and self._ff_policy(fm.shape[0])
         return pallas_decode.decode(
             weights, None, None, key, mode=self.cfg.mode,
             n_classes=self.cfg.n_classes, cond_fm=fm, out_T=out_T,
@@ -1365,7 +1404,7 @@ class Generator:
         sharded over the mesh's 'data' axis (fold axis = cond axis 1)."""
         from wavernn_tpu.ops import pallas_decode
 
-        use_ff = (self.int8_ff and self.mesh is None and ffs is not None)
+        use_ff = ffs is not None and self._ff_policy(cond.shape[1])
         fn = lambda w, c, k: pallas_decode.decode(
             w, None, None, k, mode=self.cfg.mode,
             n_classes=self.cfg.n_classes, cond=c, out_T=out_T,
