@@ -98,8 +98,13 @@ def bench_vocoder(out):
     # device and collect() ships WAV-payload bytes — half a float32's
     # transfer per sample (validated against the float path by
     # tests/test_wavernn.py::test_int16_output_matches_float_path)
+    # production serving config on a bandwidth-limited host link: f16 mel
+    # ingress (half the upload bytes; copy-synthesis MCD delta 0.08 dB,
+    # ~1/8 of the scan seed spread) + int16 PCM egress.  The MCD gate below
+    # runs the SAME ingress/egress-relevant config, so quality stays
+    # coupled to what the clock measures.
     gen = Generator(cfg, variables, backend=backend, fold_bucket=16,
-                    output_dtype="int16")
+                    output_dtype="int16", input_dtype="float16")
 
     # ~24 s utterances -> ~47 folds of 11k samples each: production-shaped
     T_mel = int(os.environ.get("BENCH_T_MEL", "1920"))
@@ -232,6 +237,7 @@ def bench_vocoder(out):
         "loose_best": round(max(loose), 1),
         "passes": passes,
         "output": "pcm16",
+        "ingress": "f16_mel",
     })
     return cfg, variables, backend
 
@@ -256,7 +262,9 @@ def bench_mcd_gate(out, cfg, variables, backend):
         hp.configure(str(default_hparams_path()))
     meta = json.loads(meta_path.read_text())
     mel = np.load(ASSETS / "golden_eval_mel.npy")
-    gen = Generator(cfg, variables, backend=backend, fold_bucket=16)
+    # same f16 mel ingress as the timed serving config (quality-coupled)
+    gen = Generator(cfg, variables, backend=backend, fold_bucket=16,
+                    input_dtype="float16")
     scores = [float(copy_synthesis_mcd(
         gen, mel, batched=True, target=11_000, overlap=550, mu_law=False,
         seed=s)[0]) for s in range(3)]
@@ -279,7 +287,7 @@ def bench_stream(out, cfg, variables, backend):
     from wavernn_tpu.ops.decode import Generator
 
     gen = Generator(cfg, variables, backend=backend, fold_bucket=16,
-                    output_dtype="int16")
+                    output_dtype="int16", input_dtype="float16")
     T_mel = 1920
     rng = np.random.default_rng(7)
     mel = rng.uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
@@ -302,7 +310,7 @@ def bench_stream(out, cfg, variables, backend):
         rates.append(total / dt / 1e3)
     out["stream_khz"] = round(float(np.median(rates)), 1)
     out["ttfc_ms"] = round(float(np.median(ttfcs)), 1)
-    out["stream_config"] = "group32/first4/int16"
+    out["stream_config"] = "group32/first4/int16/f16in"
 
 
 def bench_tts_gate(out):

@@ -207,6 +207,32 @@ def test_generate_batch_int16_matches_float_path():
         assert (w16.astype(np.float64) == expect).mean() > 0.99
 
 
+def test_generate_lean_ingress_f16_close_to_f32():
+    """input_dtype='float16' (half-byte mel upload, f32 compute on device)
+    must track the f32-ingress decode closely: same shapes, and the
+    deterministic waveforms nearly identical (the only perturbation is the
+    [0,1] mel's f16 rounding at ~1e-4)."""
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    rng = np.random.default_rng(2)
+    mel = rng.uniform(0, 1, (cfg.feat_dims, 40)).astype(np.float32)
+    kw = dict(batched=True, target=2750, overlap=550, mu_law=True)
+    ref = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    deterministic=True)(mel, **kw)
+    lean = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                     deterministic=True, input_dtype="float16")(mel, **kw)
+    assert lean.shape == ref.shape
+    # deterministic RAW decode: almost every sample picks the same class
+    assert (lean == ref).mean() > 0.98
+
+    import pytest
+
+    with pytest.raises(ValueError, match="input_dtype"):
+        Generator(cfg, variables, backend="scan", input_dtype="int8")
+
+
 def test_generate_deterministic_given_seed():
     from wavernn_tpu.ops.decode import Generator
 

@@ -51,7 +51,8 @@ class TTSPipeline:
                  backend: str = "scan", tts_steps: int = 2000,
                  tts_backend: str = "auto", int8_gates: bool = False,
                  deterministic: bool = False, mesh=None,
-                 output_dtype: str = "float64"):
+                 output_dtype: str = "float64",
+                 input_dtype: str = "float16"):
         self.r = r
         self.cleaners = list(cleaner_names)
         self.tts = TTSGenerator(tts_cfg, tts_variables, steps=tts_steps,
@@ -59,11 +60,14 @@ class TTSPipeline:
         # output_dtype='int16' serves device-faded 16-bit PCM end to end
         # (one-shot AND streamed chunks): half the transfer bytes, no
         # host-side quantization — the production serving default
-        # (serve.py --output_dtype)
+        # (serve.py --output_dtype).  input_dtype='float16' stages the
+        # Tacotron-produced mels at half the upload bytes (measured MCD
+        # delta ~1/8 of the scan seed spread; ops/decode.py).
         self.voc = Generator(voc_cfg, voc_variables, backend=backend,
                              fold_bucket=16, int8_gates=int8_gates,
                              deterministic=deterministic, mesh=mesh,
-                             output_dtype=output_dtype)
+                             output_dtype=output_dtype,
+                             input_dtype=input_dtype)
 
     def __call__(self, texts: Sequence[str], target: int = 11_000,
                  overlap: int = 550, mu_law: bool = True,

@@ -456,7 +456,8 @@ class Generator:
                  deterministic: bool = False,
                  output_dtype: str = "float64",
                  int8_hh: bool = None,
-                 int8_ff: bool = None):
+                 int8_ff: bool = None,
+                 input_dtype: str = "float32"):
         self.cfg = cfg
         # checkpoint loaders hand back HOST numpy pytrees; pin them on
         # device ONCE — numpy weights passed to a jitted program re-upload
@@ -511,6 +512,19 @@ class Generator:
         if output_dtype not in ("float64", "float32", "int16"):
             raise ValueError(f"unsupported output_dtype {output_dtype!r}")
         self.output_dtype = output_dtype
+        # input_dtype='float16'/'bfloat16': LEAN INGRESS — staged mels cross
+        # the host link at half the f32 bytes and are cast back to f32 on
+        # device before the upsample convs (numerics of everything after
+        # ingress unchanged).  Mels are [0,1]-normalized, so f16's 10
+        # mantissa bits hold ~3 decimal digits of the feature — measured
+        # copy-synthesis MCD impact within the scan seed spread
+        # (docs/ROADMAP.md round 5).  The production serving config on a
+        # bandwidth-limited link (bench.py) pairs this with int16 egress.
+        if input_dtype not in ("float32", "float16", "bfloat16"):
+            raise ValueError(f"unsupported input_dtype {input_dtype!r}")
+        self.input_dtype = input_dtype
+        self._input_np_dtype = (jnp.bfloat16 if input_dtype == "bfloat16"
+                                else np.dtype(input_dtype))
         self.fold_bucket = fold_bucket
         self.frame_bucket = frame_bucket
         self._upsample = jax.jit(
@@ -624,6 +638,8 @@ class Generator:
             """The whole mel→waveform graph as ONE program: upsample convs,
             fold gather, AR decode, mu-law expand, crossfade unfold.  A single
             dispatch per utterance — no intermediate host round-trips."""
+            # lean-ingress mels (input_dtype f16/bf16) compute in f32
+            mels_padded = mels_padded.astype(jnp.float32)
             if batched and self.backend == "pallas":
                 # fused conditioning: one packed bf16 stream + one fold
                 # gather, aux broadcast lazily from mel rate (no stretched
@@ -690,6 +706,9 @@ class Generator:
             carries each utterance's true sample count for the device-side
             tail fade of the int16 serving output."""
             from wavernn_tpu.ops import pallas_decode
+
+            # lean-ingress mels (input_dtype f16/bf16) compute in f32
+            batch_mels = batch_mels.astype(jnp.float32)
 
             fold_T = target + 2 * overlap
             stride = target + overlap
@@ -803,8 +822,9 @@ class Generator:
             num_folds, _ = fold_ops.fold_shape(real_len, target, overlap)
         else:
             num_folds = 1
-        return Prestaged(jax.device_put(mels), num_folds, wave_len,
-                         batched, target, overlap)
+        return Prestaged(
+            jax.device_put(mels.astype(self._input_np_dtype, copy=False)),
+            num_folds, wave_len, batched, target, overlap)
 
     def submit(
         self,
@@ -952,7 +972,7 @@ class Generator:
             meta[0] = num_folds  # metas becomes (num_folds, wave_len)
 
         return PrestagedBatch(
-            jax.device_put(jnp.asarray(batch)),
+            jax.device_put(batch.astype(self._input_np_dtype, copy=False)),
             jax.device_put(jnp.asarray([wl for _, wl in metas], jnp.int32)),
             metas, tuple(t_buckets), tuple(fold_counts), target, overlap)
 
@@ -1063,7 +1083,9 @@ class Generator:
                     f"shorten the utterance"
                 )
             packed = self._get_pack_stream()(
-                self.variables, jnp.asarray(mels), pad_to=pad_to)
+                self.variables,
+                jnp.asarray(mels.astype(self._input_np_dtype, copy=False)),
+                pad_to=pad_to)
             if self.int8_ff is True:
                 # eager one-time calibration for the FORCED int8_ff mode;
                 # 'auto' streams calibrate lazily at the first group launch
@@ -1247,6 +1269,8 @@ class Generator:
 
             @partial(jax.jit, static_argnames=("pad_to",))
             def pack_stream_fn(variables, mels_padded, *, pad_to: int):
+                # lean-ingress mels (input_dtype f16/bf16) compute in f32
+                mels_padded = mels_padded.astype(jnp.float32)
                 mels_up, aux_mel = self.model.apply(
                     variables, mels_padded, False,
                     method=WaveRNN.upsample_parts,
