@@ -802,7 +802,7 @@ def decode(
         int8_ff=int8_ff,
     )
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # cond stays in HBM
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # cond stays in HBM
     order = _weight_order(int8_gates, int8_hh, int8_ff)
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in order]
 
@@ -818,7 +818,7 @@ def decode(
             num_scalar_prefetch=len(prefetch),
             grid=(n_groups,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, kernel_B, SEG), jnp.bfloat16),
             ] + ([pltpu.VMEM((2, kernel_B, chunk, SEG), jnp.bfloat16)]
