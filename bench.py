@@ -313,6 +313,57 @@ def bench_stream(out, cfg, variables, backend):
     out["stream_config"] = "group32/first4/int16/f16in"
 
 
+def bench_mulaw8(out, cfg, variables, backend):
+    """mulaw8 egress (8-bit mu-law wire bytes — half int16's egress bytes,
+    the dominant byte stream on the relay-bound strict clock): strict
+    pipelined serving rate + trained-weights copy-synthesis MCD through the
+    wire format (expand on host, exactly what http_server.pcm16 serves).
+    Informational keys; the headline/gate stay on the production int16
+    config."""
+    from wavernn_tpu.dsp.audio import decode_mu_law
+    from wavernn_tpu.infer.eval import copy_synthesis_mcd
+    from wavernn_tpu.ops.decode import Generator
+
+    gen = Generator(cfg, variables, backend=backend, fold_bucket=16,
+                    output_dtype="mulaw8", input_dtype="float16")
+    T_mel = int(os.environ.get("BENCH_T_MEL", "1920"))
+    target, overlap = 11_000, 550
+    rng = np.random.default_rng(3)
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    mels = [rng.uniform(0, 1, (cfg.feat_dims, T_mel)).astype(np.float32)
+            for _ in range(runs)]
+    # warm the per-utterance program
+    gen(mels[0], batched=True, target=target, overlap=overlap, mu_law=False)
+    passes = max(3, int(os.environ.get("BENCH_PASSES", "9")) - 2)
+    rates = []
+    for p in range(passes):
+        t0 = time.time()
+        handles = []
+        for s, m in enumerate(mels):
+            d = gen.prestage(m, batched=True, target=target, overlap=overlap)
+            handles.append(gen.submit(d, batched=True, target=target,
+                                      overlap=overlap, mu_law=False,
+                                      seed=p * runs + s + 1))
+        for h in handles:
+            gen.prefetch(h)
+        waves = [gen.collect(h) for h in handles]
+        dt = time.time() - t0
+        assert all(w.dtype == np.uint8 and len(w) for w in waves)
+        rates.append(sum(len(w) for w in waves) / dt / 1e3)
+    out["mulaw8_khz"] = round(float(np.median(rates)), 1)
+
+    # quality through the wire: decode labels -> float on host (the serving
+    # expansion) and score the same copy-synthesis MCD as the gate corpus
+    if out.get("weights") == "golden_trained" and "mcd_pallas" in out:
+        mel = np.load(ASSETS / "golden_eval_mel.npy")
+        mcd, _ = copy_synthesis_mcd(
+            gen, mel, batched=True, target=target, overlap=overlap,
+            mu_law=False, seed=0,
+            to_float=lambda w: decode_mu_law(
+                w.astype(np.float64), 256, from_labels=True))
+        out["mcd_mulaw8"] = round(float(mcd), 2)
+
+
 def bench_tts_gate(out):
     """TTS quality gate on the COMMITTED trained tiny Tacotron: decode the
     golden eval text with the production backend (pallas on TPU) and gate
@@ -489,6 +540,7 @@ def main():
         [] if lite else
         [("mcd", lambda: bench_mcd_gate(out, cfg, variables, backend)),
          ("stream", lambda: bench_stream(out, cfg, variables, backend)),
+         ("mulaw8", lambda: bench_mulaw8(out, cfg, variables, backend)),
          ("tts_gate", lambda: bench_tts_gate(out)),
          ("tts", lambda: bench_tacotron(out)),
          ("train", lambda: bench_train(out))]

@@ -53,11 +53,15 @@ def main():
                              "are then paid by the first requests)")
     parser.add_argument("--tts_backend", choices=["auto", "xla", "pallas"],
                         default="auto")
-    parser.add_argument("--output_dtype", choices=["int16", "float64"],
+    parser.add_argument("--output_dtype",
+                        choices=["int16", "mulaw8", "float64"],
                         default="int16",
                         help="int16 (default): device-faded 16-bit PCM for "
                              "BOTH one-shot and streamed responses — half "
                              "the transfer bytes, no host-side quantization; "
+                             "mulaw8: 8-bit mu-law wire bytes off the device "
+                             "(half int16 again; expanded to PCM16 on the "
+                             "host before WAV framing); "
                              "float64: host-side quantization (debugging)")
     parser.add_argument("--mesh", "-m", action="store_true",
                         help="shard the vocoder's fold axis over the device "

@@ -261,3 +261,37 @@ def test_tts_stream_server_int16_chunks():
     assert all(w.dtype == np.int16 for w in waves)
     assert any(len(w) and np.abs(w.astype(np.int32)).max() > 0
                for w in waves)
+
+
+def test_mulaw8_stream_server_matches_solo_streams():
+    """output_dtype='mulaw8' through the multi-session StreamServer: each
+    session's uint8 wire bytes must equal its solo Generator.stream bytes
+    exactly (same fold-group PRNG schedule), and a TTSStreamServer over a
+    mulaw8 pipeline serves uint8 end to end."""
+    from wavernn_tpu.infer.stream_server import StreamServer, TTSStreamServer
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    _, variables, _, _ = init_model(cfg)
+    mels = [_mel(cfg, f, i) for i, f in enumerate([100, 70])]
+
+    gen = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    fold_bucket=4, deterministic=True,
+                    output_dtype="mulaw8")
+    solo = [np.concatenate(list(gen.stream(
+        m, target=TARGET, overlap=OVERLAP, mu_law=True, group=2)))
+        for m in mels]
+    assert all(s.dtype == np.uint8 for s in solo)
+
+    srv = StreamServer(gen, target=TARGET, overlap=OVERLAP, mu_law=True,
+                       group=2, width=8, capacity=4)
+    for got, want in zip(srv.run(mels), solo):
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, want)
+
+    pipe = _tiny_pipeline(output_dtype="mulaw8")
+    tts = TTSStreamServer(pipe, target=TARGET, overlap=OVERLAP, mu_law=True,
+                          group=2, width=8, capacity=2)
+    waves = tts.run(["hello world"])
+    assert all(w.dtype == np.uint8 for w in waves)
+    assert len(waves[0]) and np.ptp(waves[0].astype(np.int32)) > 0

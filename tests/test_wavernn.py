@@ -182,6 +182,56 @@ def test_int16_output_matches_float_path():
     assert (pcm.astype(np.float64) == expect).mean() > 0.99
 
 
+def test_mulaw8_output_matches_host_codec():
+    """output_dtype='mulaw8' (device-side tail fade + 8-bit mu-law
+    companding — half int16's egress bytes again) must equal encoding the
+    float64 path's waveform with dsp.audio.encode_mu_law(mu=256), to 1
+    label; streamed chunks must equal the one-shot bytes exactly; and
+    http_server.pcm16 must expand the wire bytes to within one 8-bit
+    mu-law quantization cell of the float path's PCM."""
+    from wavernn_tpu.dsp import audio
+    from wavernn_tpu.infer.http_server import pcm16
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    mel = np.random.default_rng(5).uniform(
+        0, 1, (cfg.feat_dims, 40)).astype(np.float32)
+
+    kw = dict(target=2750, overlap=550, mu_law=True, seed=3)
+    f64 = Generator(cfg, variables, backend="scan")(
+        mel, batched=True, **kw)
+    gm = Generator(cfg, variables, backend="scan", fold_bucket=4,
+                   output_dtype="mulaw8")
+    wm = gm(mel, batched=True, **kw)
+    assert wm.dtype == np.uint8
+    assert wm.shape == f64.shape
+    expect = audio.encode_mu_law(np.clip(f64, -1, 1), 256)
+    d = np.abs(wm.astype(np.float64) - expect)
+    assert d.max() <= 1.0
+    assert (d == 0).mean() > 0.99  # only fp-order boundary ties may differ
+
+    # chunked streaming serves the same audio as its one-shot oracle
+    # (stream ≡ stream_oneshot: same fold-group PRNG stream; the oracle is
+    # float64 by contract, so encode it with the host codec and allow the
+    # same 1-label fp-order ties as above)
+    skw = dict(kw, group=2)
+    chunks = list(gm.stream(mel, **skw))
+    assert all(c.dtype == np.uint8 for c in chunks)
+    oracle = audio.encode_mu_law(
+        np.clip(gm.stream_oneshot(mel, **skw), -1, 1), 256)
+    ds = np.abs(np.concatenate(chunks).astype(np.float64) - oracle)
+    assert ds.max() <= 1.0
+    assert (ds == 0).mean() > 0.99
+
+    # host expansion (HTTP WAV framing): within one mu-law cell of the
+    # float path's PCM.  Cell width at |x| ~= 1 is ~1/log(256)*2/255 ~ 1.4e-3
+    # of full scale -> ~2.6% of int16 range near the loud end
+    exp16 = pcm16(wm).astype(np.float64)
+    ref16 = pcm16(np.asarray(f64)).astype(np.float64)
+    assert np.abs(exp16 - ref16).max() <= 0.03 * 32768
+
+
 def test_generate_batch_int16_matches_float_path():
     """Co-batched serving with output_dtype='int16' (device-side per-
     utterance tail fade + PCM quantization inside the single batch program)

@@ -22,10 +22,17 @@ from wavernn_tpu.ops.decode import Generator
 
 def copy_synthesis_mcd(gen: Generator, mel: np.ndarray, *, batched: bool,
                        target: int, overlap: int, mu_law: bool,
-                       seed: int = 0) -> Tuple[float, np.ndarray]:
-    """Vocode one utterance from its mel; return (MCD vs target mel, wav)."""
+                       seed: int = 0,
+                       to_float=None) -> Tuple[float, np.ndarray]:
+    """Vocode one utterance from its mel; return (MCD vs target mel, wav).
+
+    ``to_float`` converts a packed-egress generator's wire bytes (int16 /
+    mulaw8) back to float audio before spectral analysis — scoring exactly
+    what a client of that serving format hears."""
     wav = gen(mel, batched=batched, target=target, overlap=overlap,
               mu_law=mu_law, seed=seed)
+    if to_float is not None:
+        wav = to_float(wav)
     regen_mel = audio.melspectrogram(np.asarray(wav, np.float32))
     T = min(mel.shape[1], regen_mel.shape[1])
     return mcd(mel[:, :T], regen_mel[:, :T]), wav

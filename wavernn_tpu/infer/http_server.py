@@ -42,10 +42,18 @@ def pcm16(x: np.ndarray) -> np.ndarray:
     """float waveform → little-endian int16 PCM, quantized exactly as
     dsp/wavio.save_wav and the device int16 path do (scale then clip, so
     -32768 stays reachable).  Already-int16 input (a device-quantized
-    chunk) passes through untouched."""
+    chunk) passes through untouched.  uint8 input is the mulaw8 wire
+    format (Generator output_dtype='mulaw8'): expanded to float via the
+    dsp.audio mu-law convention on the host — the bandwidth-limited
+    device→host hop shipped one byte per sample; this expansion is a
+    local table-speed op."""
     x = np.asarray(x)
     if x.dtype == np.int16:
         return x.astype("<i2", copy=False)
+    if x.dtype == np.uint8:
+        from wavernn_tpu.dsp.audio import decode_mu_law
+
+        x = decode_mu_law(x.astype(np.float64), 256, from_labels=True)
     return np.round(np.clip(x.astype(np.float64) * 32767.0,
                             -32768.0, 32767.0)).astype("<i2")
 

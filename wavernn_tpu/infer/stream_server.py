@@ -353,8 +353,8 @@ class TTSStreamServer:
         self._next_sid = 0
         # empty-chunk dtype follows the vocoder's serving dtype
         self._zero = np.zeros(
-            0, np.int16 if pipeline.voc.output_dtype == "int16"
-            else np.float64)
+            0, pipeline.voc.output_np_dtype
+            if pipeline.voc.packed_output else np.float64)
 
     def add(self, text: str) -> int:
         """Admit a text; its text→mel decode is dispatched immediately.

@@ -330,7 +330,7 @@ class _IncrementalUnfold:
         self.g_done = 0        # folds fed so far
         self.emitted = 0       # samples emitted so far
         self._prev_fold = None  # raw samples of the last fold fed
-        self.int16 = gen.output_dtype == "int16"
+        self.packed = gen.packed_output  # int16 PCM / mulaw8 wire bytes
         # Tail fade in GLOBAL waveform coordinates: the one-shot path fades
         # the last min(20*hop, wave_len) samples of the whole waveform, so
         # any chunk overlapping that window applies its slice of the same
@@ -363,7 +363,7 @@ class _IncrementalUnfold:
         n_win = window.shape[0]
         n_win_pad = _round_up(n_win, gen.fold_bucket)
         window_p = np.pad(window, ((0, n_win_pad - n_win), (0, 0)))
-        if self.int16:
+        if self.packed:
             dev = gen._finalize_pcm16(
                 jnp.asarray(window_p), jnp.asarray(n_win, jnp.int32),
                 jnp.asarray(base, jnp.int32),
@@ -408,7 +408,7 @@ class _IncrementalUnfold:
             jnp.asarray(self.wave_len, jnp.int32),
             n=n, n_win_pad=_round_up(n_win, gen.fold_bucket),
             has_prev=has_prev, mu_law=self.mu_law, overlap=self.overlap,
-            n_classes=gen.cfg.n_classes, pcm=self.int16,
+            n_classes=gen.cfg.n_classes, pcm=self.packed,
         )
         dev.copy_to_host_async()
         self._prev_fold = last  # device-resident carry
@@ -422,10 +422,11 @@ class _IncrementalUnfold:
 
     def collect(self, token) -> np.ndarray:
         """Drain a :meth:`feed_async` token to the newly-final audio chunk
-        (possibly empty): int16 tokens are already faded/quantized on
-        device; float tokens get the host-side envelope slice."""
+        (possibly empty): packed tokens (int16/mulaw8) are already faded/
+        quantized on device; float tokens get the host-side envelope
+        slice."""
         dev, base, emitted, final_upto = token
-        if self.int16:
+        if self.packed:
             return np.asarray(dev)[emitted - base: final_upto - base]
         unfolded = np.asarray(dev, dtype=np.float64)
         chunk = unfolded[emitted - base: final_upto - base]
@@ -509,9 +510,22 @@ class Generator:
         # with the tail fade applied ON DEVICE: collect() then ships half
         # the bytes of float32 and does no host-side math — the production
         # serving path on a bandwidth-limited host link.
-        if output_dtype not in ("float64", "float32", "int16"):
+        # output_dtype='mulaw8' delivers 8-bit mu-law companded bytes
+        # (G.711-style; mu=256, same label convention as
+        # dsp.audio.encode_mu_law, so dsp.audio.decode_mu_law(y, 256)
+        # recovers float audio) — HALF int16's egress bytes again.  For a
+        # mu-law-native RAW model this re-expresses the model's own output
+        # domain one bit narrower; copy-synthesis MCD impact is measured in
+        # the bench (docs/ROADMAP.md round 5).
+        if output_dtype not in ("float64", "float32", "int16", "mulaw8"):
             raise ValueError(f"unsupported output_dtype {output_dtype!r}")
         self.output_dtype = output_dtype
+        # packed egress = fade + quantization happen on device; the host
+        # ships the wire bytes verbatim
+        self.packed_output = output_dtype in ("int16", "mulaw8")
+        self.output_np_dtype = (np.int16 if output_dtype == "int16"
+                                else np.uint8 if output_dtype == "mulaw8"
+                                else np.dtype(output_dtype))
         # input_dtype='float16'/'bfloat16': LEAN INGRESS — staged mels cross
         # the host link at half the f32 bytes and are cast back to f32 on
         # device before the upsample convs (numerics of everything after
@@ -553,11 +567,28 @@ class Generator:
 
         fade = 20 * cfg.hop_length
 
+        def pack_wire(y):
+            """Faded float samples → wire dtype: 16-bit PCM or 8-bit mu-law
+            labels (mu=256, dsp.audio.encode_mu_law convention)."""
+            if self.output_dtype == "mulaw8":
+                # sign(y)*log1p(255|y|)/log(256) in [-1,1], then the same
+                # floor(+0.5) label quantizer as dsp.audio.encode_mu_law
+                fx = jnp.sign(y) * jnp.log1p(
+                    255.0 * jnp.clip(jnp.abs(y), 0.0, 1.0)) / np.log(256.0)
+                return jnp.clip(
+                    jnp.floor((fx + 1.0) / 2.0 * 255.0 + 0.5), 0.0, 255.0
+                ).astype(jnp.uint8)
+            # clip AFTER scaling, exactly as dsp/wavio.save_wav quantizes
+            # (so -32768 stays reachable for inputs below -1.0)
+            return jnp.round(
+                jnp.clip(y * 32767.0, -32768.0, 32767.0)
+            ).astype(jnp.int16)
+
         def maybe_pcm16(y, wave_len):
-            """Device-side tail fade + 16-bit PCM quantization (the exact
+            """Device-side tail fade + wire quantization (the exact
             host-side fade of collect(), moved in-graph) when the Generator
-            serves int16; identity otherwise."""
-            if self.output_dtype != "int16":
+            serves packed bytes (int16 PCM / mulaw8); identity otherwise."""
+            if not self.packed_output:
                 return y
             # collect() clamps the fade window to the clip length
             # (fade_len = min(20*hop, len)); mirror that so sub-fade-length
@@ -567,31 +598,25 @@ class Generator:
             idx = jnp.arange(y.shape[0])
             j = (idx - (wave_len - L)).astype(jnp.float32)
             factor = jnp.clip(1.0 - j / jnp.maximum(L - 1.0, 1.0), 0.0, 1.0)
-            y = y * factor
-            # clip AFTER scaling, exactly as dsp/wavio.save_wav quantizes
-            # (so -32768 stays reachable for inputs below -1.0)
-            return jnp.round(
-                jnp.clip(y * 32767.0, -32768.0, 32767.0)
-            ).astype(jnp.int16)
+            return pack_wire(y * factor)
 
         @partial(jax.jit, static_argnames=("mu_law", "overlap", "n_classes"))
         def finalize_pcm16(samples, num_folds, base, wave_len, *,
                            mu_law: bool, overlap: int, n_classes: int):
-            """Streaming finalize for the int16 serving path: crossfade-
-            unfold one fold window, apply the slice of the GLOBAL tail-fade
-            envelope that lands in it (``base`` = the window's first sample
-            in waveform coordinates), and quantize to 16-bit PCM — all on
-            device, mirroring maybe_pcm16's one-shot math so chunked and
-            one-shot serving produce the same bytes."""
+            """Streaming finalize for the packed serving paths (int16 PCM /
+            mulaw8): crossfade-unfold one fold window, apply the slice of
+            the GLOBAL tail-fade envelope that lands in it (``base`` = the
+            window's first sample in waveform coordinates), and quantize to
+            the wire dtype — all on device, mirroring maybe_pcm16's
+            one-shot math so chunked and one-shot serving produce the same
+            bytes."""
             y = finalize(samples, num_folds, mu_law=mu_law, batched=True,
                          overlap=overlap, n_classes=n_classes)
             L = jnp.minimum(fade, wave_len).astype(jnp.float32)
             gidx = base + jnp.arange(y.shape[0])
             j = (gidx - (wave_len - L)).astype(jnp.float32)
             factor = jnp.clip(1.0 - j / jnp.maximum(L - 1.0, 1.0), 0.0, 1.0)
-            return jnp.round(
-                jnp.clip(y * factor * 32767.0, -32768.0, 32767.0)
-            ).astype(jnp.int16)
+            return pack_wire(y * factor)
 
         self._finalize_pcm16 = finalize_pcm16
 
@@ -877,10 +902,11 @@ class Generator:
 
     def collect(self, handle) -> np.ndarray:
         """Resolve a :meth:`submit` handle to the waveform: float64 (default,
-        reference-parity) / float32, or device-faded 16-bit PCM when the
-        Generator was built with ``output_dtype='int16'``."""
+        reference-parity) / float32, or device-faded wire bytes (16-bit PCM
+        / 8-bit mu-law) when the Generator was built with a packed
+        ``output_dtype``."""
         out_dev, wave_len = handle
-        if self.output_dtype == "int16":
+        if self.packed_output:
             # fade + quantization already applied on device
             return np.asarray(out_dev)[:wave_len]
         # np.array (not asarray): a same-dtype fetch can alias read-only
@@ -913,8 +939,8 @@ class Generator:
         :meth:`prefetch_batch` / :meth:`collect_batch`.
 
         Returns a list of waveforms: float64 (default) / float32, or
-        device-faded 16-bit PCM when the Generator was built with
-        ``output_dtype='int16'``.
+        device-faded wire bytes (16-bit PCM / 8-bit mu-law) when the
+        Generator was built with a packed ``output_dtype``.
         """
         if isinstance(mels_list, PrestagedBatch) or self.mesh is not None:
             return self.collect_batch(self.submit_batch(
@@ -1016,16 +1042,14 @@ class Generator:
         out_dev, metas, (target, overlap) = handle
         c = self.cfg
         stride = target + overlap
-        host_dtype = (np.int16 if self.output_dtype == "int16"
-                      else np.dtype(self.output_dtype))
-        flat = np.asarray(out_dev, dtype=host_dtype)  # ONE transfer for all
+        flat = np.asarray(out_dev, dtype=self.output_np_dtype)  # ONE transfer
 
         outputs, o = [], 0
         for num_folds, wave_len in metas:
             seg_len = num_folds * stride + overlap
             out = flat[o: o + wave_len].copy()
             o += seg_len
-            if self.output_dtype != "int16":  # int16: faded on device
+            if not self.packed_output:  # packed: faded on device
                 fade_len = min(20 * c.hop_length, len(out))
                 if fade_len:
                     out[-fade_len:] *= np.linspace(1, 0, fade_len)
@@ -1165,8 +1189,8 @@ class Generator:
                first_group: int = None):
         """Streaming synthesis: yield finalized audio chunks as fold groups
         finish decoding (BASELINE config 5: streaming TTS serving).  Chunks
-        are float64, or device-faded 16-bit PCM when the Generator was built
-        with ``output_dtype='int16'``.
+        are float64, or device-faded wire bytes (16-bit PCM / 8-bit mu-law)
+        when the Generator was built with a packed ``output_dtype``.
 
         Latency model: the first chunk arrives after ONE group of folds
         decodes (~group*target samples of audio) instead of after the whole
