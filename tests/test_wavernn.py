@@ -283,6 +283,29 @@ def test_generate_lean_ingress_f16_close_to_f32():
         Generator(cfg, variables, backend="scan", input_dtype="int8")
 
 
+def test_generate_uint8_ingress_bit_exact_vs_requantized_f32():
+    """input_dtype='uint8' (quarter-byte mel upload) must decode EXACTLY
+    like feeding the 8-bit-requantized mel through the f32 path: the wire
+    format is round(m*255) on the host and *(1/255f) on device, so
+    replicating that arithmetic at f32 ingress is a bit-exact oracle (the
+    deterministic decode leaves no sampling noise to hide behind)."""
+    from wavernn_tpu.ops.decode import Generator
+
+    cfg = tiny_cfg("RAW")
+    model, variables, _, _ = init_model(cfg)
+    rng = np.random.default_rng(3)
+    mel = rng.uniform(0, 1, (cfg.feat_dims, 40)).astype(np.float32)
+    kw = dict(batched=True, target=2750, overlap=550, mu_law=True)
+    # exactly the device dequant: labels * float32(1/255)
+    q = (np.clip(np.round(mel * 255.0), 0.0, 255.0)
+         * np.float32(1.0 / 255.0)).astype(np.float32)
+    ref = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                    deterministic=True)(q, **kw)
+    lean = Generator(cfg, variables, backend="scan", frame_bucket=16,
+                     deterministic=True, input_dtype="uint8")(mel, **kw)
+    np.testing.assert_array_equal(lean, ref)
+
+
 def test_generate_deterministic_given_seed():
     from wavernn_tpu.ops.decode import Generator
 

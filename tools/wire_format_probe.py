@@ -59,14 +59,25 @@ def main():
             jax.random.PRNGKey(0), jnp.zeros((1, cfg.hop_length)),
             jnp.zeros((1, 1 + 2 * cfg.pad, cfg.feat_dims)), True)
 
-    to_float = {
+    expand = {
         "int16": lambda w: w.astype(np.float64) / 32767.0,
         "mulaw8": lambda w: decode_mu_law(
             w.astype(np.float64), 256, from_labels=True),
     }
-    gens = {od: Generator(cfg, variables, backend="pallas", fold_bucket=16,
-                          output_dtype=od, input_dtype="float16")
-            for od in ("int16", "mulaw8")}
+    # arms: (output wire, input wire) — int16+f16in is the production
+    # default; u8in quarters the f32 mel upload; mulaw8+u8in is the
+    # min-bytes configuration (1 B/sample out, 1 B/mel-bin in)
+    arms = {
+        "int16": ("int16", "float16"),
+        "mulaw8": ("mulaw8", "float16"),
+        "int16_u8in": ("int16", "uint8"),
+        "mulaw8_u8in": ("mulaw8", "uint8"),
+    }
+    to_float = {name: expand[od] for name, (od, _) in arms.items()}
+    gens = {name: Generator(cfg, variables, backend="pallas",
+                            fold_bucket=16, output_dtype=od,
+                            input_dtype=idt)
+            for name, (od, idt) in arms.items()}
 
     T_mel, target, overlap = 1920, 11_000, 550
     rng = np.random.default_rng(0)
@@ -99,9 +110,14 @@ def main():
         out[f"{name}_khz_best"] = round(float(max(r)), 1)
         print(name, "median", out[f"{name}_khz_median"],
               "best", out[f"{name}_khz_best"], [round(x) for x in r])
-    out["mulaw8_vs_int16_pct"] = round(
-        100.0 * (out["mulaw8_khz_median"] / out["int16_khz_median"] - 1), 1)
-    print(f"mulaw8 vs int16: {out['mulaw8_vs_int16_pct']:+.1f}% (median)")
+    base = out["int16_khz_median"]
+    for name in arms:
+        if name == "int16":
+            continue
+        out[f"{name}_vs_int16_pct"] = round(
+            100.0 * (out[f"{name}_khz_median"] / base - 1), 1)
+        print(f"{name} vs int16: {out[f'{name}_vs_int16_pct']:+.1f}% "
+              "(median)")
 
     if trained:
         mel = np.load(B.ASSETS / "golden_eval_mel.npy")

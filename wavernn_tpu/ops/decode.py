@@ -534,7 +534,13 @@ class Generator:
         # copy-synthesis MCD impact within the scan seed spread
         # (docs/ROADMAP.md round 5).  The production serving config on a
         # bandwidth-limited link (bench.py) pairs this with int16 egress.
-        if input_dtype not in ("float32", "float16", "bfloat16"):
+        # input_dtype='uint8': MIN-BYTES INGRESS — the [0,1] mel is
+        # quantized to 8-bit steps on the host (round(m*255)) and
+        # dequantized to f32 on device; quarter the f32 upload bytes.  One
+        # step = 1/255 of the normalized range = ~0.4 dB of the 100 dB mel
+        # scale per bin — a bandwidth knob like output_dtype='mulaw8',
+        # measured in tools/wire_format_probe.py before trusting.
+        if input_dtype not in ("float32", "float16", "bfloat16", "uint8"):
             raise ValueError(f"unsupported input_dtype {input_dtype!r}")
         self.input_dtype = input_dtype
         self._input_np_dtype = (jnp.bfloat16 if input_dtype == "bfloat16"
@@ -663,8 +669,8 @@ class Generator:
             """The whole mel→waveform graph as ONE program: upsample convs,
             fold gather, AR decode, mu-law expand, crossfade unfold.  A single
             dispatch per utterance — no intermediate host round-trips."""
-            # lean-ingress mels (input_dtype f16/bf16) compute in f32
-            mels_padded = mels_padded.astype(jnp.float32)
+            # lean-ingress mels (f16/bf16/u8 wire) compute in f32
+            mels_padded = self._ingress_f32(mels_padded)
             if batched and self.backend == "pallas":
                 # fused conditioning: one packed bf16 stream + one fold
                 # gather, aux broadcast lazily from mel rate (no stretched
@@ -732,8 +738,8 @@ class Generator:
             tail fade of the int16 serving output."""
             from wavernn_tpu.ops import pallas_decode
 
-            # lean-ingress mels (input_dtype f16/bf16) compute in f32
-            batch_mels = batch_mels.astype(jnp.float32)
+            # lean-ingress mels (f16/bf16/u8 wire) compute in f32
+            batch_mels = self._ingress_f32(batch_mels)
 
             fold_T = target + 2 * overlap
             stride = target + overlap
@@ -820,6 +826,23 @@ class Generator:
         return self.collect(self.submit(mels, batched, target, overlap,
                                         mu_law, seed))
 
+    def _ingress_pack(self, mels: np.ndarray) -> np.ndarray:
+        """Host-side mel → wire ingress dtype.  uint8 quantizes the
+        [0,1]-normalized mel to 8-bit steps; the float dtypes are a plain
+        cast.  Inverse of :meth:`_ingress_f32`."""
+        if self.input_dtype == "uint8":
+            return np.clip(np.round(mels * 255.0), 0.0, 255.0).astype(
+                np.uint8)
+        return mels.astype(self._input_np_dtype, copy=False)
+
+    def _ingress_f32(self, mels):
+        """Device-side staged wire mels → f32 compute mels (everything
+        after ingress runs at full precision regardless of wire dtype)."""
+        mels = mels.astype(jnp.float32)
+        if self.input_dtype == "uint8":
+            mels = mels * jnp.float32(1.0 / 255.0)
+        return mels
+
     def prestage(self, mels: np.ndarray, batched: bool, target: int,
                  overlap: int):
         """Pad + upload one utterance's mel to the device ahead of
@@ -848,7 +871,7 @@ class Generator:
         else:
             num_folds = 1
         return Prestaged(
-            jax.device_put(mels.astype(self._input_np_dtype, copy=False)),
+            jax.device_put(self._ingress_pack(mels)),
             num_folds, wave_len, batched, target, overlap)
 
     def submit(
@@ -998,7 +1021,7 @@ class Generator:
             meta[0] = num_folds  # metas becomes (num_folds, wave_len)
 
         return PrestagedBatch(
-            jax.device_put(batch.astype(self._input_np_dtype, copy=False)),
+            jax.device_put(self._ingress_pack(batch)),
             jax.device_put(jnp.asarray([wl for _, wl in metas], jnp.int32)),
             metas, tuple(t_buckets), tuple(fold_counts), target, overlap)
 
@@ -1108,7 +1131,7 @@ class Generator:
                 )
             packed = self._get_pack_stream()(
                 self.variables,
-                jnp.asarray(mels.astype(self._input_np_dtype, copy=False)),
+                jnp.asarray(self._ingress_pack(mels)),
                 pad_to=pad_to)
             if self.int8_ff is True:
                 # eager one-time calibration for the FORCED int8_ff mode;
@@ -1293,8 +1316,8 @@ class Generator:
 
             @partial(jax.jit, static_argnames=("pad_to",))
             def pack_stream_fn(variables, mels_padded, *, pad_to: int):
-                # lean-ingress mels (input_dtype f16/bf16) compute in f32
-                mels_padded = mels_padded.astype(jnp.float32)
+                # lean-ingress mels (f16/bf16/u8 wire) compute in f32
+                mels_padded = self._ingress_f32(mels_padded)
                 mels_up, aux_mel = self.model.apply(
                     variables, mels_padded, False,
                     method=WaveRNN.upsample_parts,
