@@ -63,6 +63,16 @@ def main():
                              "(half int16 again; expanded to PCM16 on the "
                              "host before WAV framing); "
                              "float64: host-side quantization (debugging)")
+    parser.add_argument("--input_dtype",
+                        choices=["float32", "float16", "uint8"],
+                        default="float16",
+                        help="wire dtype for mels staged to the vocoder: "
+                             "float16 (default) halves f32 upload bytes at "
+                             "no measurable quality cost; uint8 quantizes "
+                             "the [0,1] mel to 8-bit steps (quarter of f32, "
+                             "measured +5-6%% strict serving rate, MCD "
+                             "delta inside the seed spread — "
+                             "tools/wire_format_probe.py)")
     parser.add_argument("--mesh", "-m", action="store_true",
                         help="shard the vocoder's fold axis over the device "
                              "mesh (multi-chip sequence-parallel decode; "
@@ -114,7 +124,7 @@ def main():
         cleaner_names=hp.tts_cleaner_names, r=r, backend=backend,
         tts_backend=args.tts_backend, int8_gates=int8_gates,
         deterministic=args.deterministic, mesh=mesh,
-        output_dtype=args.output_dtype)
+        output_dtype=args.output_dtype, input_dtype=args.input_dtype)
 
     service = SynthesisService(
         pipeline, target=hp.voc_target, overlap=hp.voc_overlap,
@@ -145,6 +155,7 @@ def main():
         ("backend", backend + (" (int8)" if int8_gates
                                and backend == "pallas" else "")),
         ("output", args.output_dtype),
+        ("input", args.input_dtype),
         ("sessions", args.sessions),
         ("endpoint", f"http://{args.host}:{httpd.server_address[1]}"),
     ])

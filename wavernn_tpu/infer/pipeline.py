@@ -62,7 +62,9 @@ class TTSPipeline:
         # host-side quantization — the production serving default
         # (serve.py --output_dtype).  input_dtype='float16' stages the
         # Tacotron-produced mels at half the upload bytes (measured MCD
-        # delta ~1/8 of the scan seed spread; ops/decode.py).
+        # delta ~1/8 of the scan seed spread; ops/decode.py); 'uint8'
+        # quarters them (8-bit mel steps, serve.py --input_dtype,
+        # measured in tools/wire_format_probe.py).
         self.voc = Generator(voc_cfg, voc_variables, backend=backend,
                              fold_bucket=16, int8_gates=int8_gates,
                              deterministic=deterministic, mesh=mesh,
