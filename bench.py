@@ -11,8 +11,9 @@
   the >50x-realtime-per-chip north star (1102.5 kHz); decode runs on the
   COMMITTED TRAINED golden weights (bench_assets/, tools/train_golden.py)
   so the signal asserts are meaningful, with random-init fallback.
-  Strict clocks include per-pass input staging INSIDE the timed window
-  (round 5; both serving modes symmetric).
+  Strict clocks include per-pass input staging INSIDE the timed window,
+  and the serving modes' passes are interleaved round-robin so a relay
+  congestion episode cannot skew one mode's median (round 5).
 * Copy-synthesis MCD QUALITY GATE — the pallas kernel vocodes the golden
   eval mel with the trained weights; MCD must stay inside a corridor sized
   to the committed seed spread over the scan baseline, so a kernel
@@ -121,21 +122,47 @@ def bench_vocoder(out):
     gen.collect_batch(gen.submit_batch(mels, target=target, overlap=overlap,
                                        mu_law=False))
 
-    # Pipelined serving throughput, samples/wall-clock — the reference's
-    # own metric definition, STRICT clock: inputs prestaged, all N
-    # submitted (fused single-program dispatches queue on the chip in
-    # order), clock stops after EVERY utterance's audio is fetched.
-    # Headline = MEDIAN of ``passes`` timed passes (the axon relay stalls
-    # for tens of ms at random; the median sheds that environment noise).
-    # ONE-SHOT: a single cold generate_batch call, everything (staging,
-    # decode, transfer) inside the clock — since round 5 generate_batch
-    # internally pipelines per utterance, closing the round-4 one-shot gap
-    # (5.6 MHz fused -> per-utterance overlap; VERDICT r4 #8).
+    # Serving throughput, samples/wall-clock — the reference's own metric
+    # definition.  THREE strict serving modes (every byte of staging,
+    # decode, and result transfer inside the clock), each MEDIAN of
+    # ``passes`` timed passes:
+    #   * ONE-SHOT: a single generate_batch call on a raw mel list — since
+    #     round 5 it internally pipelines per utterance (VERDICT r4 #8);
+    #     the plain "server got N requests" call.
+    #   * PIPELINED: explicit prestage/submit/prefetch/collect per
+    #     utterance, uploads and transfers overlapped with the in-order
+    #     device queue.
+    #   * CO-BATCHED STEADY: fused single-program batches, pass k+1
+    #     dispatched before pass k is collected.
+    # The modes' passes are INTERLEAVED round-robin (round 5, second
+    # session): the axon relay stalls for tens of ms at random and
+    # sometimes for whole minutes — with the modes timed in separate
+    # blocks, one congestion episode landed entirely on one mode and
+    # skewed the mode comparison (measured: pipelined median 4.5 MHz in
+    # the same run where oneshot, timed minutes earlier, held 8.8 MHz).
+    # Interleaving spreads environment noise evenly, so the per-mode
+    # medians — and the headline "best strict mode" choice — compare
+    # serving strategies, not relay weather.
     staged = [gen.prestage(m, batched=True, target=target, overlap=overlap)
               for m in mels]
     passes = int(os.environ.get("BENCH_PASSES", "9"))
-    oneshot, strict, loose = [], [], []
+    co_k = int(os.environ.get("BENCH_COBATCH_PASSES", "4"))
+    co_reps = 3
+    # spread the co_reps co-batched passes evenly across the session
+    co_at = {round((p + 1) * passes / (co_reps + 1)) for p in range(co_reps)}
+    staged_b = gen.prestage_batch(mels, target=target, overlap=overlap)
+    # Soft wall-clock budget for the pass loop: the relay has multi-minute
+    # stall episodes, and 9 full rounds under one can push the section past
+    # external timeouts.  Medians over >=3 interleaved rounds are still
+    # valid (co_at guarantees a co-batched pass within the first 3), so
+    # stop adding rounds once the budget is spent.
+    budget_s = float(os.environ.get("BENCH_VOC_BUDGET_S", "720"))
+    t_section = time.time()
+    oneshot, strict, loose, costeady = [], [], [], []
     for p in range(passes):
+        if p >= 3 and time.time() - t_section > budget_s:
+            break
+        # -- one-shot pass --------------------------------------------------
         t0 = time.time()
         waves = gen.generate_batch(mels, target=target, overlap=overlap,
                                    mu_law=False, seed=1_000_000 + p)
@@ -144,49 +171,11 @@ def bench_vocoder(out):
                    for w in waves)
         oneshot.append(sum(len(w) for w in waves) / dt / 1000.0)
 
-    # STEADY-STATE co-batched serving: batch p+1 is dispatched (and its
-    # transfer prefetched) BEFORE batch p is collected, so each fused
-    # program's single result transfer hides behind the next program's
-    # decode.  The clock spans K whole passes — every byte of every pass
-    # is inside it (same strictness as the pipelined clock below); this is
-    # the saturated-server throughput the wide-fold kernel geometry
-    # (B_TILE-wide grid groups) is built for.
-    co_k = int(os.environ.get("BENCH_COBATCH_PASSES", "4"))
-    staged_b = gen.prestage_batch(mels, target=target, overlap=overlap)
-    costeady = []
-    for p in range(3):
-        t0 = time.time()
-        h = gen.submit_batch(staged_b, target=target, overlap=overlap,
-                             mu_law=False, seed=2_000_000 + p * co_k)
-        gen.prefetch_batch(h)
-        total = 0
-        for k in range(1, co_k + 1):
-            h2 = None
-            # a real server stages batch k+1's mels WHILE batch k decodes:
-            # the staging (host padding + upload) happens INSIDE the clock,
-            # overlapped with device compute — same strictness as the
-            # pipelined clock below, which pays staging via gen.submit
-            # (ADVICE r4: the reused-handle version excluded upload bytes)
-            staged_b = gen.prestage_batch(mels, target=target,
-                                          overlap=overlap)
-            if k < co_k:
-                h2 = gen.submit_batch(staged_b, target=target,
-                                      overlap=overlap, mu_law=False,
-                                      seed=2_000_000 + p * co_k + k)
-                gen.prefetch_batch(h2)
-            waves = gen.collect_batch(h)
-            assert all(len(w) and np.abs(w.astype(np.int32)).max() > 256
-                       for w in waves)
-            total += sum(len(w) for w in waves)
-            h = h2
-        costeady.append(total / (time.time() - t0) / 1000.0)
-
-    for p in range(passes):
-        t0 = time.time()
+        # -- pipelined strict pass ------------------------------------------
         # staging happens INSIDE the clock: a steady-state server re-pads +
         # re-uploads every request's mel (the uploads overlap the in-order
-        # device queue of the earlier submissions) — symmetric with the
-        # co-batched steady clock above
+        # device queue of the earlier submissions)
+        t0 = time.time()
         handles = []
         for s, m in enumerate(mels):
             d = gen.prestage(m, batched=True, target=target, overlap=overlap)
@@ -202,8 +191,9 @@ def bench_vocoder(out):
                    for w in waves)
         strict.append(sum(len(w) for w in waves) / dt_all / 1000.0)
 
-        # loose pass (prior rounds' definition): clock stops at the LAST
-        # utterance's fetch; the other N-1 transfers fall outside it
+        # -- loose pass (prior rounds' definition, never headline) ----------
+        # clock stops at the LAST utterance's fetch; the other N-1
+        # transfers fall outside it
         t0 = time.time()
         handles = [gen.submit(d, batched=True, target=target,
                               overlap=overlap, mu_law=False,
@@ -214,15 +204,49 @@ def bench_vocoder(out):
         rest = [gen.collect(h) for h in handles[:-1]]
         loose.append((sum(len(w) for w in rest) + len(last)) / dt_last / 1e3)
 
+        # -- co-batched steady-state pass (every few rounds) ----------------
+        # batch k+1 is dispatched (and its transfer prefetched) BEFORE
+        # batch k is collected, so each fused program's single result
+        # transfer hides behind the next program's decode; the clock spans
+        # co_k whole batches, with batch k+1's staging (host padding +
+        # upload) INSIDE the clock overlapped with device compute
+        # (ADVICE r4: the reused-handle version excluded upload bytes).
+        # This is the saturated-server throughput the wide-fold kernel
+        # geometry (B_TILE-wide grid groups) is built for.
+        if (p + 1) in co_at:
+            pi = len(costeady)
+            t0 = time.time()
+            h = gen.submit_batch(staged_b, target=target, overlap=overlap,
+                                 mu_law=False, seed=2_000_000 + pi * co_k)
+            gen.prefetch_batch(h)
+            total = 0
+            for k in range(1, co_k + 1):
+                h2 = None
+                staged_b = gen.prestage_batch(mels, target=target,
+                                              overlap=overlap)
+                if k < co_k:
+                    h2 = gen.submit_batch(staged_b, target=target,
+                                          overlap=overlap, mu_law=False,
+                                          seed=2_000_000 + pi * co_k + k)
+                    gen.prefetch_batch(h2)
+                waves = gen.collect_batch(h)
+                assert all(len(w) and np.abs(w.astype(np.int32)).max() > 256
+                           for w in waves)
+                total += sum(len(w) for w in waves)
+                h = h2
+            costeady.append(total / (time.time() - t0) / 1000.0)
+
     khz_pipe = float(np.median(strict))
     khz_costeady = float(np.median(costeady))
-    # headline = the best STRICT serving mode (all transfers inside the
-    # clock in both): per-utterance pipelined dispatches, or steady-state
-    # co-batched passes (one fused program per pass, passes pipelined)
-    if khz_costeady > khz_pipe:
-        khz, mode = khz_costeady, "cobatch_steady_strict"
-    else:
-        khz, mode = khz_pipe, "pipelined_strict"
+    khz_oneshot = float(np.median(oneshot))
+    # headline = the best STRICT serving mode (all three clocks pay every
+    # staging upload and result transfer; their passes were interleaved,
+    # so the comparison is apples-to-apples under the same relay weather)
+    khz, mode = max(
+        (khz_pipe, "pipelined_strict"),
+        (khz_costeady, "cobatch_steady_strict"),
+        (khz_oneshot, "oneshot_strict"),
+    )
     out.update({
         "value": round(khz, 1),
         "vs_baseline": round(khz / BASELINE_KHZ, 3),
@@ -235,7 +259,7 @@ def bench_vocoder(out):
         "oneshot_best": round(max(oneshot), 1),
         "loose_median": round(float(np.median(loose)), 1),
         "loose_best": round(max(loose), 1),
-        "passes": passes,
+        "passes": len(strict),
         "output": "pcm16",
         "ingress": "f16_mel",
     })
